@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Scale notes (100 TB target):
+- AQE on: runtime coalescing, skew-join splitting (hot H3 cells in dense
+  urban tiles get split automatically; we additionally salt known-hot cells,
+  see operators/spatial.py).
+- Arrow on: every geometry/text UDF in this package is an Arrow-batched
+  pandas UDF / mapInPandas — never row-at-a-time Python.
+- shuffle.partitions is a local-mode default; on a real cluster this is
+  overridden by spark-submit conf (AQE coalescing makes the initial number
+  less critical).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "netascore_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def tuned_for_scale(spark: SparkSession) -> SparkSession:
+    """Confs we would set on a 1000-executor cluster (documented defaults)."""
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "256m")
+    return spark
