@@ -1,38 +1,982 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps SURVEY.md §2 operators onto the driver's TPC-H-ish
+tables (SQL-checkable against the DuckDB ``oracle_sql()``), plus the
+spatial/web-scale operators over deterministic in-memory fixtures
+(rows-only checks — DuckDB can't express the geometry kernel).
+
+Every computed column is aliased identically in Spark and SQL; doubles are
+rounded in BOTH engines before comparison.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# flagship: synthesized segment scoring over lineitem (the DSL end-to-end)
+# ===========================================================================
+
+def _synth_indicators(li: DataFrame) -> DataFrame:
+    """Map lineitem columns onto NetAScore indicator domains (deterministic)."""
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", "primary")
+        .when(F.col("l_returnflag") == "A", "residential")
+        .otherwise("service")
+        .alias("road_category"),
+        F.least(F.col("l_quantity") * 3, F.lit(130.0)).alias("max_speed"),
+        (F.floor(F.col("l_extendedprice")) % 9 - 4).cast("double").alias("gradient"),
+        F.when(F.col("l_discount") < 0.02, "asphalt")
+        .when(F.col("l_discount") < 0.05, "gravel")
+        .when(F.col("l_discount") < 0.08, "soft")
+        .otherwise("cobble")
+        .alias("pavement"),
+        F.when(F.col("l_linestatus") == "O", "bicycle_lane").otherwise("no").alias(
+            "bicycle_infrastructure"
+        ),
+    )
+
+
+_SYNTH_PROFILE = None
+
+
+def _synth_profile():
+    global _SYNTH_PROFILE
+    if _SYNTH_PROFILE is None:
+        from netascore_spark.plans.profile import INDICATORS, Profile
+
+        _SYNTH_PROFILE = Profile(
+            name="synth",
+            weights={
+                **{i: None for i in INDICATORS},
+                "bicycle_infrastructure": 0.2,
+                "road_category": 0.3,
+                "max_speed": 0.1,
+                "gradient": 0.1,
+                "pavement": 0.1,
+            },
+            overrides=[
+                {
+                    "description": "steep + loose (profile_bike.yml:35-46)",
+                    "indicator": "pavement",
+                    "output": {"type": "weight", "for": ["pavement", "gradient"]},
+                    "mapping": {
+                        "{gravel, soft, cobble}": {
+                            "indicator": "gradient",
+                            "mapping": {"{-4, -3, 3, 4}": 1.6},
+                        }
+                    },
+                },
+            ],
+            indicator_mapping=[
+                {"indicator": "bicycle_infrastructure",
+                 "mapping": {"bicycle_lane": 0.75, "no": 0}},
+                {"indicator": "road_category",
+                 "mapping": {"primary": 0, "residential": 0.8, "service": 0.85}},
+                {"indicator": "max_speed",
+                 "classes": {"ge100": 0, "ge80": 0.2, "ge70": 0.3, "ge60": 0.4,
+                             "ge50": 0.6, "ge30": 0.85, "g0": 0.9, "e0": 1}},
+                {"indicator": "gradient",
+                 "mapping": {4: 0, 3: 0.25, 2: 0.4, 1: 0.5, 0: 0.9, -1: 1,
+                             -2: 0.95, -3: 0.35, -4: 0}},
+                {"indicator": "pavement",
+                 "mapping": {"asphalt": 1, "gravel": 0.75, "soft": 0.4, "cobble": 0}},
+            ],
+        )
+    return _SYNTH_PROFILE
+
+
+def q_dsl_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netascore_spark.plans.profile import calculate_index
+
+    ind = _synth_indicators(_t(spark, sf_dir, "lineitem"))
+    present = {"road_category", "max_speed", "gradient", "pavement",
+               "bicycle_infrastructure"}
+    resolver = lambda n: (
+        F.col(n) if n in present else F.lit(None).cast("string")
+    )
+    res = calculate_index(_synth_profile(), resolver)
+    return ind.select(
+        "l_orderkey",
+        "l_linenumber",
+        res["index"].alias("bike_index"),
+        res["index_robustness"].alias("robustness"),
+    )
+
+
+_DSL_ORACLE = """
+WITH ind AS (
+    SELECT l_orderkey, l_linenumber,
+        CASE l_returnflag WHEN 'R' THEN 'primary' WHEN 'A' THEN 'residential'
+             ELSE 'service' END AS road_category,
+        least(l_quantity * 3, 130.0) AS max_speed,
+        (CAST(floor(l_extendedprice) AS BIGINT) % 9 - 4)::DOUBLE AS gradient,
+        CASE WHEN l_discount < 0.02 THEN 'asphalt'
+             WHEN l_discount < 0.05 THEN 'gravel'
+             WHEN l_discount < 0.08 THEN 'soft' ELSE 'cobble' END AS pavement,
+        CASE WHEN l_linestatus = 'O' THEN 'bicycle_lane' ELSE 'no' END
+            AS bicycle_infrastructure
+    FROM lineitem
+), scored AS (
+    -- every literal cast to DOUBLE: DuckDB literals default to DECIMAL,
+    -- which would change the FP results vs Spark's double arithmetic
+    SELECT l_orderkey, l_linenumber,
+        CASE bicycle_infrastructure WHEN 'bicycle_lane' THEN 0.75::DOUBLE WHEN 'no' THEN 0.0::DOUBLE END AS s_bi,
+        CASE road_category WHEN 'primary' THEN 0.0::DOUBLE WHEN 'residential' THEN 0.8::DOUBLE
+             WHEN 'service' THEN 0.85::DOUBLE END AS s_rc,
+        CASE WHEN max_speed >= 100 THEN 0.0::DOUBLE WHEN max_speed >= 80 THEN 0.2::DOUBLE
+             WHEN max_speed >= 70 THEN 0.3::DOUBLE WHEN max_speed >= 60 THEN 0.4::DOUBLE
+             WHEN max_speed >= 50 THEN 0.6::DOUBLE WHEN max_speed >= 30 THEN 0.85::DOUBLE
+             WHEN max_speed > 0 THEN 0.9::DOUBLE WHEN max_speed = 0 THEN 1.0::DOUBLE END AS s_ms,
+        CASE gradient WHEN 4 THEN 0.0::DOUBLE WHEN 3 THEN 0.25::DOUBLE WHEN 2 THEN 0.4::DOUBLE
+             WHEN 1 THEN 0.5::DOUBLE WHEN 0 THEN 0.9::DOUBLE WHEN -1 THEN 1.0::DOUBLE WHEN -2 THEN 0.95::DOUBLE
+             WHEN -3 THEN 0.35::DOUBLE WHEN -4 THEN 0.0::DOUBLE END AS s_grad,
+        CASE pavement WHEN 'asphalt' THEN 1.0::DOUBLE WHEN 'gravel' THEN 0.75::DOUBLE
+             WHEN 'soft' THEN 0.4::DOUBLE WHEN 'cobble' THEN 0.0::DOUBLE END AS s_pav,
+        CASE WHEN pavement IN ('gravel','soft','cobble')
+                  AND gradient IN (-4,-3,3,4) THEN 1.6::DOUBLE ELSE 0.1::DOUBLE END AS w_po
+    FROM ind
+), summed AS (
+    SELECT l_orderkey, l_linenumber,
+        -- ws left-assoc in double, mirroring the compiler fold order
+        ((((0.2::DOUBLE + 0.3::DOUBLE) + 0.1::DOUBLE) + w_po) + w_po) AS ws,
+        s_bi, s_rc, s_ms, s_grad, s_pav, w_po
+    FROM scored
+)
+SELECT l_orderkey, l_linenumber,
+    -- per-term s_i * (w_i/ws) in indicator_mapping order, then Spark's
+    -- round() semantics (HALF_UP on the shortest decimal representation ->
+    -- VARCHAR->DECIMAL round-trip).
+    CAST(round(CAST(CAST(
+        0.0::DOUBLE + s_bi*(0.2::DOUBLE/ws)
+            + s_rc*(0.3::DOUBLE/ws)
+            + s_ms*(0.1::DOUBLE/ws)
+            + s_grad*(w_po/ws)
+            + s_pav*(w_po/ws)
+        AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS bike_index,
+    round(ws / ws, 4) AS robustness
+FROM summed
+"""
+
+
+# ===========================================================================
+# projection / filter / scalar (P1-P9)
+# ===========================================================================
+
+def q_filter_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 10) & F.col("l_returnflag").isin(["R", "A"])
+    ).select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        # NB: no round() — per-row double products are bit-identical across
+        # engines; round()'s tie behavior at the 2dp boundary is not.
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_clamped"),
+    )
+
+
+_FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       l_extendedprice * (1 - l_discount) AS net_price,
+       least(l_quantity, 25.0) AS qty_clamped
+FROM lineitem
+WHERE l_quantity >= 10 AND l_returnflag IN ('R', 'A')
+"""
+
+
+def q_case_vocab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    norm = (
+        F.when(F.col("event_type").isNull(), F.lit(None).cast("string"))
+        .when(F.col("event_type").isin(["error", "signup"]), "rare")
+        .when(F.col("event_type").isin(["click", "view"]), "common")
+        .otherwise("other")
+    )
+    return ev.select("event_id", norm.alias("event_class"))
+
+
+_CASE_ORACLE = """
+SELECT event_id,
+       CASE WHEN event_type IS NULL THEN NULL
+            WHEN event_type IN ('error', 'signup') THEN 'rare'
+            WHEN event_type IN ('click', 'view') THEN 'common'
+            ELSE 'other' END AS event_class
+FROM events
+"""
+
+
+def q_regex_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pat = '"k": ([0-9]{1,3})'
+    extracted = F.when(
+        F.col("props").rlike(pat), F.regexp_extract(F.col("props"), pat, 1).cast("int")
+    )
+    return ev.select("event_id", extracted.alias("k_value"))
+
+
+_REGEX_ORACLE = """
+SELECT event_id,
+       CASE WHEN regexp_matches(props, '"k": ([0-9]{1,3})')
+            THEN CAST(regexp_extract(props, '"k": ([0-9]{1,3})', 1) AS INTEGER)
+       END AS k_value
+FROM events
+"""
+
+
+def q_width_parse(spark, sf_dir):
+    """The width regex parser (P6/P7, osm_attributes.sql.j2:708-726) applied
+    to synthesized width strings derived from part.p_size."""
+    p = _t(spark, sf_dir, "part")
+    synth = (
+        F.when(F.col("p_size") % 4 == 0, F.concat(F.col("p_size").cast("string"), F.lit(" m")))
+        .when(F.col("p_size") % 4 == 1, F.col("p_size").cast("string"))
+        .when(F.col("p_size") % 4 == 2, F.concat(F.col("p_size").cast("string"), F.lit("meter")))
+        .otherwise(F.lit("n/a"))
+    )
+    df = p.select("p_partkey", synth.alias("width_str"))
+    pat = r"^([0-9]*[.]?[0-9]*)([ ])?(m|meter)?$"
+    extracted = F.when(
+        df["width_str"].rlike(pat) & (F.regexp_extract("width_str", pat, 1) != ""),
+        F.regexp_extract("width_str", pat, 1).cast("double"),
+    )
+    width = F.when((extracted >= 0.4) & (extracted <= 100), F.round(extracted, 2))
+    return df.select("p_partkey", width.alias("width"))
+
+
+_WIDTH_ORACLE = r"""
+WITH synth AS (
+    SELECT p_partkey,
+        CASE WHEN p_size % 4 = 0 THEN p_size::VARCHAR || ' m'
+             WHEN p_size % 4 = 1 THEN p_size::VARCHAR
+             WHEN p_size % 4 = 2 THEN p_size::VARCHAR || 'meter'
+             ELSE 'n/a' END AS width_str
+    FROM part
+), ex AS (
+    SELECT p_partkey,
+        CASE WHEN regexp_matches(width_str, '^([0-9]*[.]?[0-9]*)([ ])?(m|meter)?$')
+                  AND regexp_extract(width_str, '^([0-9]*[.]?[0-9]*)([ ])?(m|meter)?$', 1) <> ''
+             THEN CAST(regexp_extract(width_str, '^([0-9]*[.]?[0-9]*)([ ])?(m|meter)?$', 1) AS DOUBLE)
+        END AS w
+    FROM synth
+)
+SELECT p_partkey,
+       CASE WHEN w >= 0.4 AND w <= 100 THEN round(w, 2) END AS width
+FROM ex
+"""
+
+
+def q_bit_decode(spark, sf_dir):
+    """GIP bit-decode semantics (P9, gip_attributes.sql.j2:42-47) over
+    synthesized bitmasks."""
+    ev = _t(spark, sf_dir, "events")
+    tow = (F.col("event_id") % 256).cast("int")
+    bkw = ((F.col("event_id") * 7) % 256).cast("int")
+    df = ev.select("event_id", tow.alias("access_tow"), bkw.alias("access_bkw"))
+    return df.select(
+        "event_id",
+        ((F.col("access_tow").bitwiseOR(F.col("access_bkw"))).bitwiseAND(F.lit(7)) > 0).alias(
+            "any_access"
+        ),
+        (F.shiftright(F.col("access_tow"), 2).bitwiseAND(F.lit(1)) == 1).alias("bit2_car"),
+    )
+
+
+_BIT_ORACLE = """
+WITH b AS (
+    SELECT event_id,
+           CAST(event_id % 256 AS INTEGER) AS access_tow,
+           CAST((event_id * 7) % 256 AS INTEGER) AS access_bkw
+    FROM events
+)
+SELECT event_id,
+       ((access_tow | access_bkw) & 7) > 0 AS any_access,
+       ((access_tow >> 2) & 1) = 1 AS bit2_car
+FROM b
+"""
+
+
+# ===========================================================================
+# joins (J1, J11, J12) + aggregations (A2, A4, A5, A8) + windows (W1-W4)
+# ===========================================================================
+
+def q_attr_attach(spark, sf_dir):
+    """J1+A4: the attribute-attach join chain + weighted-sum aggregate."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_ATTR_ATTACH_ORACLE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    p, li = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    hot = li.filter(F.col("l_quantity") > 45)
+    return p.join(hot, p["p_partkey"] == hot["l_partkey"], "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+_SEMI_ORACLE = """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+"""
+
+
+def q_row_number(spark, sf_dir):
+    """W1-W4: deterministic ranking (first 2 orders per customer)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+_ROW_NUMBER_ORACLE = """
+SELECT o_custkey, o_orderkey, rn FROM (
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 2
+"""
+
+
+def q_global_ids(spark, sf_dir):
+    """The scalable two-phase global id operator vs SQL row_number (W3)."""
+    from netascore_spark.operators.ids import assign_ids
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return assign_ids(o, ["o_totalprice", "o_orderkey"], "global_id", num_partitions=8).select(
+        "o_orderkey", "global_id"
+    )
+
+
+_GLOBAL_IDS_ORACLE = """
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS global_id
+FROM orders
+"""
+
+
+def q_priority_pick(spark, sf_dir):
+    """A5: the designated_route priority-pick aggregate shape
+    (osm_attributes.sql.j2:544-556) over order priorities."""
+    o = _t(spark, sf_dir, "orders")
+    prios = F.collect_set("o_orderpriority")
+    pick = (
+        F.when(F.array_contains(prios, "1-URGENT"), "1-URGENT")
+        .when(F.array_contains(prios, "2-HIGH"), "2-HIGH")
+        .when(F.array_contains(prios, "3-MEDIUM"), "3-MEDIUM")
+        .when(F.array_contains(prios, "4-NOT SPECIFIED"), "4-NOT SPECIFIED")
+        .when(F.array_contains(prios, "5-LOW"), "5-LOW")
+    )
+    return o.groupBy("o_custkey").agg(pick.alias("best_priority"))
+
+
+_PRIORITY_ORACLE = """
+SELECT o_custkey,
+       CASE WHEN bool_or(o_orderpriority = '1-URGENT') THEN '1-URGENT'
+            WHEN bool_or(o_orderpriority = '2-HIGH') THEN '2-HIGH'
+            WHEN bool_or(o_orderpriority = '3-MEDIUM') THEN '3-MEDIUM'
+            WHEN bool_or(o_orderpriority = '4-NOT SPECIFIED') THEN '4-NOT SPECIFIED'
+            WHEN bool_or(o_orderpriority = '5-LOW') THEN '5-LOW'
+       END AS best_priority
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_distinct_on(spark, sf_dir):
+    """A6: DISTINCT ON (first event per user, deterministic order)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+_DISTINCT_ON_ORACLE = """
+SELECT user_id, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def q_string_agg(spark, sf_dir):
+    """A8: ordered string_agg with '*' NULL placeholder
+    (gip_network.sql.j2:79-90)."""
+    ev = _t(spark, sf_dir, "events")
+    collected = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    joined = F.array_join(
+        F.transform(collected, lambda s: F.coalesce(s["event_type"], F.lit("*"))),
+        ";",
+    )
+    return ev.groupBy("user_id").agg(joined.alias("event_seq"))
+
+
+_STRING_AGG_ORACLE = """
+SELECT user_id,
+       string_agg(coalesce(event_type, '*'), ';' ORDER BY ts, event_id) AS event_seq
+FROM events GROUP BY user_id
+"""
+
+
+def q_union_dedup(spark, sf_dir):
+    """U2: UNION (dedup) of two projections."""
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+_UNION_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: grouped weighted sums + rounds (A4/P7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ===========================================================================
+# access cascade (F1) against an independent SQL rendering
+# ===========================================================================
+
+def _synth_access_inputs(o: DataFrame) -> DataFrame:
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.when(k % 7 == 0, "no").when(k % 7 == 1, "private").otherwise(F.lit(None)).alias("access"),
+        F.when(k % 5 == 0, "yes").when(k % 5 == 1, "no").otherwise(F.lit(None)).alias("mv_fwd"),
+        F.when(k % 3 == 0, "yes").when(k % 3 == 1, "opposite").otherwise(F.lit(None)).alias("oneway"),
+        F.when(k % 11 == 0, "yes").otherwise(F.lit(None)).alias("roundabout"),
+        F.when(k % 13 == 0, "no").when(k % 13 == 1, "yes").otherwise(F.lit(None)).alias("motor_vehicle"),
+        F.when(k % 17 == 0, "no").otherwise(F.lit(None)).alias("vehicle"),
+        F.when(k % 2 == 0, "yes").otherwise(F.lit(None)).alias("highway"),
+    )
+
+
+def q_access_car(spark, sf_dir):
+    """F1: the car access cascade, evaluated by the engine's Column builder,
+    cross-checked against a hand-written SQL rendering of
+    osm_calculate_access_car.sql:19-50."""
+    from netascore_spark.functions.access import calculate_access_car
+
+    df = _synth_access_inputs(_t(spark, sf_dir, "orders"))
+    null_s = F.lit(None).cast("string")
+    cols = {
+        "access": F.col("access"),
+        "motor_vehicle_forward": F.col("mv_fwd"),
+        "motor_vehicle_backward": F.col("mv_fwd"),
+        "oneway": F.col("oneway"),
+        "oneway_motor_vehicle": null_s,
+        "oneway_vehicle": null_s,
+        "roundabout": F.col("roundabout"),
+        "motor_vehicle": F.col("motor_vehicle"),
+        "motorcar": null_s,
+        "vehicle_forward": F.col("vehicle"),
+        "vehicle_backward": F.col("vehicle"),
+        "vehicle": F.col("vehicle"),
+        "highway": F.col("highway"),
+    }
+    return df.select(
+        "o_orderkey",
+        calculate_access_car("ft", cols).alias("access_ft"),
+        calculate_access_car("tf", cols).alias("access_tf"),
+    )
+
+
+_ACCESS_CAR_ORACLE = """
+WITH s AS (
+    SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN 'no' WHEN o_orderkey % 7 = 1 THEN 'private' END AS access,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'yes' WHEN o_orderkey % 5 = 1 THEN 'no' END AS mv_fwd,
+        CASE WHEN o_orderkey % 3 = 0 THEN 'yes' WHEN o_orderkey % 3 = 1 THEN 'opposite' END AS oneway,
+        CASE WHEN o_orderkey % 11 = 0 THEN 'yes' END AS roundabout,
+        CASE WHEN o_orderkey % 13 = 0 THEN 'no' WHEN o_orderkey % 13 = 1 THEN 'yes' END AS motor_vehicle,
+        CASE WHEN o_orderkey % 17 = 0 THEN 'no' END AS vehicle,
+        CASE WHEN o_orderkey % 2 = 0 THEN 'yes' END AS highway
+    FROM orders
+)
+SELECT o_orderkey,
+    CASE WHEN mv_fwd = 'yes' THEN 1
+         WHEN mv_fwd = 'no' THEN 0
+         WHEN oneway = 'opposite' THEN 0
+         WHEN motor_vehicle = 'yes' THEN 1
+         WHEN motor_vehicle = 'no' THEN 0
+         WHEN vehicle = 'no' THEN 0
+         WHEN access = 'no' THEN 0
+         WHEN highway = 'no' OR highway IS NULL THEN 0
+         ELSE 1 END AS access_ft,
+    CASE WHEN mv_fwd = 'yes' THEN 1
+         WHEN mv_fwd = 'no' THEN 0
+         WHEN oneway = 'yes' THEN 0
+         WHEN roundabout = 'yes' THEN 0
+         WHEN motor_vehicle = 'yes' THEN 1
+         WHEN motor_vehicle = 'no' THEN 0
+         WHEN vehicle = 'no' THEN 0
+         WHEN access = 'no' THEN 0
+         WHEN highway = 'no' OR highway IS NULL THEN 0
+         ELSE 1 END AS access_tf
+FROM s
+"""
+
+
+# ===========================================================================
+# training-data ops over documents / embeddings
+# ===========================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    from netascore_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_docs
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    from netascore_spark.operators import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TS.token_count(t).alias("n_tokens"),
+        TS.fingerprint(t).alias("fingerprint"),
+        TS.quality_score(t).alias("quality"),
+    )
+
+
+_TEXT_STATS_ORACLE = r"""
+SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    md5(text) AS fingerprint,
+    round(0.6 * least(length(text) / 500.0, 1.0)
+        + 0.4 * (CASE WHEN length(text)::DOUBLE / greatest(
+              CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
+              BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END), 4) AS quality
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from netascore_spark.operators import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.lang_id(F.col("text")).alias("detected_lang"))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in
+                      __import__("netascore_spark.operators.textstats",
+                                 fromlist=["STOPWORDS"]).STOPWORDS[lang])
+    return (
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        f" t -> t IN ({words})))"
+    )
+
+
+def _lang_oracle() -> str:
+    en, de, fr = _lang_hits_sql("en"), _lang_hits_sql("de"), _lang_hits_sql("fr")
+    return f"""
+WITH h AS (
+    SELECT doc_id, {en} AS en_h, {de} AS de_h, {fr} AS fr_h FROM documents
+)
+SELECT doc_id,
+    CASE WHEN greatest(en_h, de_h, fr_h) <= 0 THEN NULL
+         WHEN en_h = greatest(en_h, de_h, fr_h) THEN 'en'
+         WHEN de_h = greatest(en_h, de_h, fr_h) THEN 'de'
+         ELSE 'fr' END AS detected_lang
+FROM h
+"""
+
+
+def q_ngram_dedup(spark, sf_dir):
+    from netascore_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.6, max_df=1_000_000
+    )
+
+
+_NGRAM_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN
+            list_distinct([array_to_string(t[i:i+2], ' ')
+                           for i in range(1, len(t) - 1)])
+        ELSE [array_to_string(t, ' ')] END AS shingles
+    FROM toks
+), sized AS (
+    SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           count(*) AS inter
+    FROM sized a JOIN sized b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(inter / (n_a + n_b - inter), 6) AS jaccard
+FROM shared
+WHERE inter / (n_a + n_b - inter) >= 0.6
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    from netascore_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5).select("query_id", "vec_id", "rank")
+
+
+_COSINE_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+), scored AS (
+    SELECT q.query_id, e.vec_id,
+           round(list_cosine_similarity(q.qvec, e.embedding), 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+), ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ===========================================================================
+# spatial / web-scale fixture queries (rows-only checks: no SQL equivalent)
+# ===========================================================================
+
+_FIXTURE_CACHE: dict = {}
+
+
+def _fixture_network(spark):
+    """Build (and persist) the fixture network once per session — the
+    downstream attribute queries join it repeatedly."""
+    from netascore_spark.pipeline.network import build_network
+    from netascore_spark.sources import fixtures
+
+    key = id(spark)
+    if key not in _FIXTURE_CACHE:
+        osm = fixtures.osm_lines(spark, scale=1)
+        edges, nodes = build_network(osm)
+        edges = edges.persist()
+        nodes = nodes.persist()
+        edges.count()
+        _FIXTURE_CACHE.clear()
+        _FIXTURE_CACHE[key] = (osm, (edges, nodes))
+    return _FIXTURE_CACHE[key]
+
+
+def q_network_edges(spark, sf_dir):
+    _, (edges, _) = _fixture_network(spark)
+    return edges.select("edge_id", "osm_id", "seg_seq", "from_node", "to_node",
+                        F.round("length", 4).alias("length"))
+
+
+def q_network_nodes(spark, sf_dir):
+    _, (_, nodes) = _fixture_network(spark)
+    return nodes.select("node_id", F.round("x", 4).alias("x"), F.round("y", 4).alias("y"))
+
+
+def q_edge_attributes(spark, sf_dir):
+    from netascore_spark.pipeline.attributes import build_attributes
+    from netascore_spark.sources import fixtures
+
+    osm, (edges, nodes) = _fixture_network(spark)
+    layers = {
+        "facility": fixtures.layer_points(spark, "facility"),
+        "crossing": fixtures.layer_points(spark, "crossing"),
+        "building": fixtures.layer_polygons(spark, "building"),
+        "greenness": fixtures.layer_polygons(spark, "greenness"),
+        "water": fixtures.water_layer(spark),
+        "noise": fixtures.noise_layer(spark),
+        "dem": fixtures.dem_grid(spark),
+    }
+    attrs, _ = build_attributes(edges, nodes, osm, layers)
+    return attrs
+
+
+def q_score_network(spark, sf_dir):
+    from netascore_spark.plans.profile import Profile, attach_index
+
+    attrs = q_edge_attributes(spark, sf_dir)
+    bike = Profile.from_yaml("profiles/profile_bike.yml", "bike")
+    walk = Profile.from_yaml("profiles/profile_walk.yml", "walk")
+    scored = attach_index(attach_index(attrs, bike), walk)
+    return scored.select(
+        "edge_id", "index_bike_ft", "index_bike_tf", "index_walk_ft",
+        "index_walk_tf", "index_bike_ft_robustness", "index_walk_ft_robustness",
+    )
+
+
+def q_pages_extract(spark, sf_dir):
+    from netascore_spark.pipeline.pages import extract_pages
+    from netascore_spark.sources import fixtures
+
+    pg = extract_pages(fixtures.pages(spark, n=2000))
+    return pg.select(
+        "url",
+        F.col("extracted_text").eqNullSafe(F.col("text")).alias("byte_identical"),
+        F.col("cell"),
+    )
+
+
+def q_pages_pip(spark, sf_dir):
+    from netascore_spark.pipeline.pages import extract_pages, join_polygons
+    from netascore_spark.sources import fixtures
+
+    pg = extract_pages(fixtures.pages(spark, n=2000))
+    return join_polygons(pg, fixtures.admin_polygons(spark))
+
+
+def q_pages_knn(spark, sf_dir):
+    from netascore_spark.pipeline.pages import extract_pages, nearest_edges
+    from netascore_spark.sources import fixtures
+
+    pg = extract_pages(fixtures.pages(spark, n=2000))
+    _, (edges, _) = _fixture_network(spark)
+    return nearest_edges(pg, edges, k=1, radius=500.0)
+
+
+def q_minhash_dedup(spark, sf_dir):
+    from netascore_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents")).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+def q_simhash_dedup(spark, sf_dir):
+    from netascore_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from netascore_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_ann_topk(emb, queries, dim=dim, k=5, bits=8, tables=8)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from netascore_spark.operators.multimodal import extract_features, synthetic_media
+
+    return extract_features(synthetic_media(spark, n=200)).select(
+        "media_id", "media_type", "n_bytes", "byte_entropy"
+    )
+
+
+# ===========================================================================
+# contract functions
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the YAML-profile scoring DSL end-to-end over sf0.001,
+    aggregated per nation (exercises scan, join chain, the compiled
+    when-cascade index, and grouped aggregation)."""
+    sf_dir = "/root/testdata/sf0.001"
+    scored = q_dsl_score(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        scored.join(li.select("l_orderkey", "l_linenumber").distinct(),
+                    ["l_orderkey", "l_linenumber"])
+        .join(o, scored["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.avg("bike_index"), 4).alias("avg_bike_index"),
+            F.count("*").alias("n_segments"),
+        )
+        .orderBy("n_name")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # scoring DSL + access cascades (SQL-checked)
+        "dsl_score": q_dsl_score,
+        "access_car": q_access_car,
+        # projection / filter / scalar
+        "filter_project": q_filter_project,
+        "case_vocab": q_case_vocab,
+        "regex_extract": q_regex_extract,
+        "width_parse": q_width_parse,
+        "bit_decode": q_bit_decode,
+        # joins / aggs / windows / set ops
+        "attr_attach": q_attr_attach,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "row_number": q_row_number,
+        "global_ids": q_global_ids,
+        "priority_pick": q_priority_pick,
+        "distinct_on": q_distinct_on,
+        "string_agg": q_string_agg,
+        "union_dedup": q_union_dedup,
+        "pricing_summary": q_pricing_summary,
+        # training-data ops (SQL-checked)
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "ngram_dedup": q_ngram_dedup,
+        "cosine_topk": q_cosine_topk,
+        # spatial / web-scale (rows-only)
+        "network_edges": q_network_edges,
+        "network_nodes": q_network_nodes,
+        "edge_attributes": q_edge_attributes,
+        "score_network": q_score_network,
+        "pages_extract": q_pages_extract,
+        "pages_pip": q_pages_pip,
+        "pages_knn": q_pages_knn,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dsl_score": _DSL_ORACLE,
+        "access_car": _ACCESS_CAR_ORACLE,
+        "filter_project": _FILTER_ORACLE,
+        "case_vocab": _CASE_ORACLE,
+        "regex_extract": _REGEX_ORACLE,
+        "width_parse": _WIDTH_ORACLE,
+        "bit_decode": _BIT_ORACLE,
+        "attr_attach": _ATTR_ATTACH_ORACLE,
+        "anti_join": _ANTI_ORACLE,
+        "semi_join": _SEMI_ORACLE,
+        "row_number": _ROW_NUMBER_ORACLE,
+        "global_ids": _GLOBAL_IDS_ORACLE,
+        "priority_pick": _PRIORITY_ORACLE,
+        "distinct_on": _DISTINCT_ON_ORACLE,
+        "string_agg": _STRING_AGG_ORACLE,
+        "union_dedup": _UNION_ORACLE,
+        "pricing_summary": _PRICING_ORACLE,
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "text_stats": _TEXT_STATS_ORACLE,
+        "lang_id": _lang_oracle(),
+        "ngram_dedup": _NGRAM_ORACLE,
+        "cosine_topk": _COSINE_ORACLE,
+        # spatial/web-scale + signature ops: rows-only (geometry kernel and
+        # hash signatures are not ANSI-SQL-expressible)
+    }

@@ -1,0 +1,129 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "pages_per_sec": ..., "edges_per_sec": ...}
+
+The two throughputs are the authoritative BASELINE.json metric
+(end-to-end tile+join+score, pages/sec and edges/sec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    # fixture sizes scale with sf (FIXTURES.md: 2k/20k/200k pages)
+    n_pages = max(int(2_000_000 * sf), 2000)
+    osm_scale = {0.001: 2, 0.01: 3, 0.1: 6}.get(sf, max(2, int(60 * sf)))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from netascore_spark.session import build_session
+    from netascore_spark.sources import fixtures
+    from netascore_spark.pipeline import attributes as ATTR
+    from netascore_spark.pipeline import network as N
+    from netascore_spark.pipeline import pages as PG
+    from netascore_spark.plans.profile import Profile, attach_index
+    import __spark_entry__ as E
+
+    spark = build_session(
+        app_name="netascore-bench", master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus) * 2, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- network + attributes + scoring (edges/sec) -----------------------
+    osm = fixtures.osm_lines(spark, scale=osm_scale)
+    t_net0 = time.time()
+    edges, nodes = N.build_network(osm)
+    edges = edges.persist()
+    n_edges = timed("network_build", lambda: edges.count())
+    n_edges = edges.count()
+
+    layers = {
+        "facility": fixtures.layer_points(spark, "facility"),
+        "crossing": fixtures.layer_points(spark, "crossing"),
+        "building": fixtures.layer_polygons(spark, "building"),
+        "greenness": fixtures.layer_polygons(spark, "greenness"),
+        "water": fixtures.water_layer(spark),
+        "noise": fixtures.noise_layer(spark),
+        "dem": fixtures.dem_grid(spark),
+    }
+    bike = Profile.from_yaml("profiles/profile_bike.yml", "bike")
+    walk = Profile.from_yaml("profiles/profile_walk.yml", "walk")
+
+    def run_attrs():
+        attrs, _ = ATTR.build_attributes(edges, nodes, osm, layers)
+        scored = attach_index(attach_index(attrs, bike), walk)
+        return scored.count()
+
+    timed("attributes_score", run_attrs)
+    edges_sec = round(
+        n_edges / (timings["network_build"] + timings["attributes_score"]), 2
+    )
+
+    # --- pages: extract + tile + PIP + kNN (pages/sec) ---------------------
+    pages_pdf = fixtures.pages_pandas(n_pages)
+    pg_raw = spark.createDataFrame(pages_pdf, fixtures._PAGES_SCHEMA).persist()
+    pg_raw.count()
+
+    def run_pages():
+        pg = PG.extract_pages(pg_raw).persist()
+        assert PG.verify_extraction(pg) == 0, "byte-identity violated"
+        pip = PG.join_polygons(pg, fixtures.admin_polygons(spark))
+        n_pip = pip.count()
+        nn = PG.nearest_edges(pg, edges, k=1, radius=500.0)
+        agg = PG.page_edge_attributes(nn, pg)
+        n_agg = agg.count()
+        return n_pip + n_agg
+
+    timed("pages_tile_join", run_pages)
+    pages_sec = round(n_pages / timings["pages_tile_join"], 2)
+
+    # --- driver-table headline queries -------------------------------------
+    for name in [
+        "pricing_summary", "attr_attach", "dsl_score", "row_number",
+        "ngram_dedup", "cosine_topk", "text_stats",
+    ]:
+        fn = E.queries()[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end tile+join+score throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+                "n_pages": n_pages,
+                "n_edges": n_edges,
+                "pages_per_sec": pages_sec,
+                "edges_per_sec": edges_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,586 @@
+"""Exact planar geometry algorithms on numpy coordinate arrays.
+
+Covers the PostGIS function surface the reference uses (SURVEY.md §2.8):
+length/area, intersects, intersection (points + collinear overlaps), split,
+dwithin, contains(line,line), point-in-polygon, buffer (flat/round caps),
+polygon∩polygon area, line∩polygon length.
+
+Conventions: coordinates are meters in a projected plane (the reference
+works in a UTM zone, settings.py:21-24).  ``EPS`` absorbs float noise from
+intersection construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-9
+
+
+# ---------------------------------------------------------------------------
+# basics
+# ---------------------------------------------------------------------------
+
+def length(coords: np.ndarray) -> float:
+    """ST_Length of a linestring."""
+    if len(coords) < 2:
+        return 0.0
+    d = np.diff(coords, axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def polygon_area(rings: list[np.ndarray]) -> float:
+    """ST_Area: |exterior| minus |holes|."""
+    if not rings:
+        return 0.0
+    a = abs(ring_signed_area(rings[0]))
+    for h in rings[1:]:
+        a -= abs(ring_signed_area(h))
+    return a
+
+
+# ---------------------------------------------------------------------------
+# point/segment predicates
+# ---------------------------------------------------------------------------
+
+def point_seg_dist(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> float:
+    ab = b - a
+    denom = float(ab @ ab)
+    if denom <= EPS * EPS:
+        return float(np.hypot(*(p - a)))
+    t = max(0.0, min(1.0, float((p - a) @ ab) / denom))
+    proj = a + t * ab
+    return float(np.hypot(*(p - proj)))
+
+
+def point_line_dist(p: np.ndarray, coords: np.ndarray) -> float:
+    """Distance point -> linestring (vectorized over segments)."""
+    a = coords[:-1]
+    b = coords[1:]
+    ab = b - a
+    ap = p[None, :] - a
+    denom = (ab * ab).sum(axis=1)
+    denom = np.where(denom <= EPS * EPS, 1.0, denom)
+    t = np.clip((ap * ab).sum(axis=1) / denom, 0.0, 1.0)
+    proj = a + t[:, None] * ab
+    d = p[None, :] - proj
+    return float(np.sqrt((d * d).sum(axis=1)).min())
+
+
+def point_on_line(p: np.ndarray, coords: np.ndarray, eps: float = EPS) -> bool:
+    return point_line_dist(p, coords) <= eps
+
+
+# ---------------------------------------------------------------------------
+# segment-segment intersection
+# ---------------------------------------------------------------------------
+
+def _seg_intersection(p1, p2, p3, p4):
+    """Intersect segment (p1,p2) with (p3,p4).
+
+    Returns (points, overlap) where points is a list of intersection points
+    and overlap is an (a, b) coordinate pair for collinear overlap, or None.
+    """
+    r = p2 - p1
+    s = p4 - p3
+    denom = r[0] * s[1] - r[1] * s[0]
+    qp = p3 - p1
+    qpxr = qp[0] * r[1] - qp[1] * r[0]
+    rlen = float(np.hypot(*r)) or 1.0
+    slen = float(np.hypot(*s)) or 1.0
+    scale = max(rlen, slen)
+
+    if abs(denom) <= EPS * scale * scale:
+        # parallel
+        if abs(qpxr) > EPS * scale * scale:
+            return [], None  # parallel, non-collinear
+        # collinear: project onto r
+        rr = float(r @ r)
+        if rr <= EPS * EPS:
+            # degenerate first segment (point)
+            if point_seg_dist(p1, p3, p4) <= EPS:
+                return [p1.copy()], None
+            return [], None
+        t0 = float((p3 - p1) @ r) / rr
+        t1 = float((p4 - p1) @ r) / rr
+        lo, hi = min(t0, t1), max(t0, t1)
+        lo, hi = max(lo, 0.0), min(hi, 1.0)
+        if hi < lo - EPS:
+            return [], None
+        if hi - lo <= EPS:  # touch at one point
+            t = (lo + hi) / 2
+            return [p1 + t * r], None
+        return [], (p1 + lo * r, p1 + hi * r)
+
+    t = (qp[0] * s[1] - qp[1] * s[0]) / denom
+    u = qpxr / denom
+    tol = EPS / scale
+    if -tol <= t <= 1 + tol and -tol <= u <= 1 + tol:
+        t = min(max(t, 0.0), 1.0)
+        return [p1 + t * r], None
+    return [], None
+
+
+def line_line_intersection(a: np.ndarray, b: np.ndarray):
+    """ST_Intersection of two linestrings.
+
+    Returns (points, overlaps): unique crossing/touching points and
+    collinear-overlap segments.  The reference's type-based post-processing
+    (osm_network.sql.j2:108-127) maps to: keep ``points``; rows whose result
+    was purely lines are discarded.
+    """
+    pts: list[np.ndarray] = []
+    overlaps: list[tuple[np.ndarray, np.ndarray]] = []
+    for i in range(len(a) - 1):
+        # bbox prefilter per segment
+        amin = np.minimum(a[i], a[i + 1]) - EPS
+        amax = np.maximum(a[i], a[i + 1]) + EPS
+        for j in range(len(b) - 1):
+            bmin = np.minimum(b[j], b[j + 1])
+            bmax = np.maximum(b[j], b[j + 1])
+            if (bmin[0] > amax[0] or bmax[0] < amin[0]
+                    or bmin[1] > amax[1] or bmax[1] < amin[1]):
+                continue
+            p, ov = _seg_intersection(a[i], a[i + 1], b[j], b[j + 1])
+            pts.extend(p)
+            if ov is not None:
+                overlaps.append(ov)
+    # dedup points (and drop points lying on an overlap segment — PostGIS
+    # returns them as part of the line component)
+    uniq: list[np.ndarray] = []
+    for p in pts:
+        on_overlap = any(
+            point_seg_dist(p, o[0], o[1]) <= EPS for o in overlaps
+        )
+        if on_overlap:
+            continue
+        if not any(np.hypot(*(p - q)) <= EPS for q in uniq):
+            uniq.append(p)
+    return uniq, overlaps
+
+
+def lines_intersect(a: np.ndarray, b: np.ndarray) -> bool:
+    pts, ov = line_line_intersection(a, b)
+    return bool(pts or ov)
+
+
+# ---------------------------------------------------------------------------
+# contains / within
+# ---------------------------------------------------------------------------
+
+def line_contains_line(a: np.ndarray, b: np.ndarray, eps: float = 1e-6) -> bool:
+    """ST_Contains(a, b) for linestrings: b lies within a.
+
+    Checked by sampling: all vertices and segment midpoints of b must lie on
+    a (sufficient when b's segments don't leave and re-enter a collinearly —
+    true for split-derived edges vs route lines, J4).
+    """
+    for i in range(len(b)):
+        if point_line_dist(b[i], a) > eps:
+            return False
+    mids = (b[:-1] + b[1:]) / 2.0
+    for m in mids:
+        if point_line_dist(m, a) > eps:
+            return False
+    return True
+
+
+def point_in_ring(p: np.ndarray, ring: np.ndarray) -> bool:
+    """Ray-cast parity (boundary counts as inside within EPS)."""
+    x, y = p
+    inside = False
+    xs, ys = ring[:, 0], ring[:, 1]
+    n = len(ring) - 1
+    j = n - 1
+    for i in range(n):
+        xi, yi, xj, yj = xs[i], ys[i], xs[j], ys[j]
+        if point_seg_dist(p, np.array([xi, yi]), np.array([xj, yj])) <= EPS:
+            return True
+        if (yi > y) != (yj > y):
+            xint = (xj - xi) * (y - yi) / (yj - yi) + xi
+            if x < xint:
+                inside = not inside
+        j = i
+    return inside
+
+
+def point_in_polygon(p: np.ndarray, rings: list[np.ndarray]) -> bool:
+    if not rings or not point_in_ring(p, rings[0]):
+        return False
+    for hole in rings[1:]:
+        # strictly inside a hole -> outside (on hole boundary counts inside)
+        on_boundary = any(
+            point_seg_dist(p, hole[i], hole[i + 1]) <= EPS
+            for i in range(len(hole) - 1)
+        )
+        if not on_boundary and point_in_ring(p, hole):
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# split (ST_Split equivalent)
+# ---------------------------------------------------------------------------
+
+def locate_point(coords: np.ndarray, p: np.ndarray, eps: float = 1e-7):
+    """Arc-length parameter of p along the line, or None if not on it."""
+    acc = 0.0
+    best = None
+    best_d = eps
+    for i in range(len(coords) - 1):
+        a, b = coords[i], coords[i + 1]
+        seg = b - a
+        seg_len = float(np.hypot(*seg))
+        d = point_seg_dist(p, a, b)
+        if d <= best_d:
+            t = 0.0
+            if seg_len > 0:
+                t = float(np.clip((p - a) @ seg / (seg_len * seg_len), 0.0, 1.0))
+            best = acc + t * seg_len
+            best_d = d
+        acc += seg_len
+    return best
+
+
+def split_line(coords: np.ndarray, points: list[np.ndarray], eps: float = 1e-7):
+    """ST_Dump(ST_Split(line, multipoint)): pieces in order along the line.
+
+    Points not on the line (or at its endpoints) do not split.  Cut
+    coordinates reuse the *given* point values (not re-interpolated), so two
+    lines split at the same junction point get bit-identical piece endpoints
+    — the property the node-identity equality join (J3) relies on.
+    """
+    total = length(coords)
+    cuts = []  # (arc_param, original_point)
+    for p in points:
+        s = locate_point(coords, p, eps)
+        if s is not None and eps < s < total - eps:
+            cuts.append((s, p))
+    if not cuts:
+        return [coords.copy()]
+    # dedup by param
+    cuts.sort(key=lambda c: c[0])
+    dedup = []
+    for s, p in cuts:
+        if not dedup or s - dedup[-1][0] > eps:
+            dedup.append((s, p))
+    cuts = dedup
+
+    pieces = []
+    current = [coords[0]]
+    acc = 0.0
+    pi = 0
+    for i in range(len(coords) - 1):
+        a, b = coords[i], coords[i + 1]
+        seg_len = float(np.hypot(*(b - a)))
+        while pi < len(cuts) and acc + seg_len >= cuts[pi][0] - eps:
+            cut = cuts[pi][1]
+            if np.hypot(*(cut - current[-1])) > eps:
+                current.append(cut)
+            pieces.append(np.array(current))
+            current = [cut]
+            pi += 1
+        if np.hypot(*(b - current[-1])) > eps:
+            current.append(b)
+        acc += seg_len
+    if len(current) >= 2:
+        pieces.append(np.array(current))
+    return pieces
+
+
+# ---------------------------------------------------------------------------
+# buffer (ST_Buffer with endcap=flat|round), offset construction
+# ---------------------------------------------------------------------------
+
+def _arc(center, start_angle, end_angle, r, quad_segs=8, ccw=True):
+    """Arc points from start to end angle, CCW or CW."""
+    if ccw:
+        while end_angle < start_angle:
+            end_angle += 2 * np.pi
+    else:
+        while end_angle > start_angle:
+            end_angle -= 2 * np.pi
+    span = abs(end_angle - start_angle)
+    n = max(1, int(np.ceil(span / (np.pi / 2) * quad_segs)))
+    angles = np.linspace(start_angle, end_angle, n + 1)
+    return center[None, :] + r * np.stack([np.cos(angles), np.sin(angles)], axis=1)
+
+
+def _inf_line_intersection(p1, p2, p3, p4):
+    """Intersection of infinite lines (p1,p2) and (p3,p4), or None."""
+    r = p2 - p1
+    s = p4 - p3
+    denom = r[0] * s[1] - r[1] * s[0]
+    if abs(denom) <= EPS:
+        return None
+    qp = p3 - p1
+    t = (qp[0] * s[1] - qp[1] * s[0]) / denom
+    return p1 + t * r
+
+
+def _offset_side(coords: np.ndarray, r: float, quad_segs: int):
+    """Left-of-travel offset path: CW round arcs on outside (right-turn)
+    corners, miter trim on inside (left-turn) corners."""
+    segs = []
+    for i in range(len(coords) - 1):
+        a, b = coords[i], coords[i + 1]
+        d = b - a
+        seg_len = float(np.hypot(*d))
+        if seg_len <= EPS:
+            continue
+        dirv = d / seg_len
+        nvec = np.array([-dirv[1], dirv[0]])  # left normal
+        segs.append((a, a + r * nvec, b + r * nvec, dirv))
+    if not segs:
+        raise ValueError("degenerate linestring")
+    path = [segs[0][1], segs[0][2]]
+    for k in range(1, len(segs)):
+        v, oa, ob, dirv = segs[k]
+        _, poa, pob, pdir = segs[k - 1]
+        turn = pdir[0] * dirv[1] - pdir[1] * dirv[0]
+        if turn < -EPS:
+            # right turn -> left side is outside: round join (CW arc)
+            a0 = float(np.arctan2(pob[1] - v[1], pob[0] - v[0]))
+            a1 = float(np.arctan2(oa[1] - v[1], oa[0] - v[0]))
+            path.extend(_arc(v, a0, a1, r, quad_segs, ccw=False)[1:])
+            path.append(ob)
+        elif turn > EPS:
+            # left turn -> left side is inside: miter to offsets' crossing
+            inter = _inf_line_intersection(poa, pob, oa, ob)
+            if inter is not None:
+                path[-1] = inter
+                path.append(ob)
+            else:
+                path.extend([oa, ob])
+        else:
+            path.append(ob)
+    return np.array(path)
+
+
+def buffer_line(coords: np.ndarray, r: float, cap: str = "flat", quad_segs: int = 8):
+    """Polygon ring approximating ST_Buffer(line, r, 'endcap=<cap>').
+
+    Exact (rectangle) for single-segment lines with flat caps; arc-
+    approximated round joins elsewhere (PostGIS likewise approximates arcs,
+    quad_segs=8 default).  The ring is traversed clockwise.
+    """
+    left = _offset_side(coords, r, quad_segs)
+    right = _offset_side(coords[::-1], r, quad_segs)
+    parts = [left]
+    if cap == "round":
+        end = coords[-1]
+        a0 = float(np.arctan2(left[-1][1] - end[1], left[-1][0] - end[0]))
+        a1 = float(np.arctan2(right[0][1] - end[1], right[0][0] - end[0]))
+        parts.append(_arc(end, a0, a1, r, quad_segs, ccw=False)[1:-1])
+    parts.append(right)
+    if cap == "round":
+        start = coords[0]
+        a0 = float(np.arctan2(right[-1][1] - start[1], right[-1][0] - start[0]))
+        a1 = float(np.arctan2(left[0][1] - start[1], left[0][0] - start[0]))
+        parts.append(_arc(start, a0, a1, r, quad_segs, ccw=False)[1:-1])
+    ring = np.vstack(parts)
+    ring = np.vstack([ring, ring[:1]])
+    return ring
+
+
+def buffer_point(p: np.ndarray, r: float, quad_segs: int = 8):
+    ring = _arc(p, 0.0, 2 * np.pi, r, quad_segs, ccw=True)
+    ring[-1] = ring[0]
+    return ring
+
+
+# ---------------------------------------------------------------------------
+# polygon ∩ polygon area (winding decomposition + convex clipping)
+# ---------------------------------------------------------------------------
+
+def _clip_convex(subject: np.ndarray, clip_tri: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip polygon by CCW triangle."""
+    out = subject
+    n = len(clip_tri)
+    for i in range(n):
+        if len(out) == 0:
+            return out
+        a, b = clip_tri[i], clip_tri[(i + 1) % n]
+        edge = b - a
+        inp = out
+        res = []
+        d = np.cross(np.broadcast_to(edge, (len(inp), 2)), inp - a)
+        inside = d >= -EPS
+        for k in range(len(inp)):
+            k2 = (k + 1) % len(inp)
+            if inside[k]:
+                res.append(inp[k])
+            if inside[k] != inside[k2]:
+                p1, p2 = inp[k], inp[k2]
+                seg = p2 - p1
+                denom = edge[0] * seg[1] - edge[1] * seg[0]
+                if abs(denom) > EPS:
+                    t = (edge[0] * (p1[1] - a[1]) - edge[1] * (p1[0] - a[0])) / -denom
+                    res.append(p1 + np.clip(t, 0.0, 1.0) * seg)
+        out = np.array(res) if res else np.empty((0, 2))
+    return out
+
+
+def _fan_triangles(rings: list[np.ndarray]):
+    """Signed fan decomposition: (triangle CCW, sign) pairs whose signed sum
+    reproduces the polygon's winding function (exterior +, holes -)."""
+    tris = []
+    for ridx, ring in enumerate(rings):
+        orient = 1.0 if ring_signed_area(ring) >= 0 else -1.0
+        want = 1.0 if ridx == 0 else -1.0
+        o = ring[0]
+        for i in range(1, len(ring) - 1):
+            t = np.array([o, ring[i], ring[i + 1]])
+            s = ring_signed_area(np.vstack([t, t[:1]]))
+            if abs(s) <= EPS:
+                continue
+            sign = (1.0 if s > 0 else -1.0) * orient * want
+            if s < 0:
+                t = t[::-1]  # make CCW
+            tris.append((t, sign))
+    return tris
+
+
+def intersection_area(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> float:
+    """Exact area(A ∩ B) for simple polygons (with holes).
+
+    Uses ∫ w_A·w_B over signed fan triangulations — robust to ring
+    orientation, no geometric union construction needed.
+    """
+    ta = _fan_triangles(rings_a)
+    tb = _fan_triangles(rings_b)
+    total = 0.0
+    for t1, s1 in ta:
+        mn1, mx1 = t1.min(axis=0), t1.max(axis=0)
+        for t2, s2 in tb:
+            mn2, mx2 = t2.min(axis=0), t2.max(axis=0)
+            if (mn2[0] > mx1[0] or mx2[0] < mn1[0]
+                    or mn2[1] > mx1[1] or mx2[1] < mn1[1]):
+                continue
+            clipped = _clip_convex(t1, t2)
+            if len(clipped) >= 3:
+                ring = np.vstack([clipped, clipped[:1]])
+                total += s1 * s2 * abs(ring_signed_area(ring))
+    return max(total, 0.0)
+
+
+def intersection_area3(
+    rings_a: list[np.ndarray], rings_b: list[np.ndarray], rings_c: list[np.ndarray]
+) -> float:
+    """area(A ∩ B ∩ C) — triple winding product, double convex clip."""
+    ta, tb, tc = _fan_triangles(rings_a), _fan_triangles(rings_b), _fan_triangles(rings_c)
+    total = 0.0
+    for t1, s1 in ta:
+        for t2, s2 in tb:
+            clipped = _clip_convex(t1, t2)
+            if len(clipped) < 3:
+                continue
+            for t3, s3 in tc:
+                c2 = _clip_convex(clipped, t3)
+                if len(c2) >= 3:
+                    ring = np.vstack([c2, c2[:1]])
+                    total += s1 * s2 * s3 * abs(ring_signed_area(ring))
+    return max(total, 0.0)
+
+
+def union_area_in_region(
+    polys: list[list[np.ndarray]], region: list[np.ndarray]
+) -> float:
+    """ST_Area(ST_Union(poly_i ∩ region)) — the union-before-area of A3
+    (osm_attributes.sql.j2:946-951).
+
+    Inclusion–exclusion truncated at pairs: exact unless three inputs
+    mutually overlap inside the region.
+    """
+    total = sum(intersection_area(p, region) for p in polys)
+    for i in range(len(polys)):
+        for j in range(i + 1, len(polys)):
+            total -= intersection_area3(polys[i], polys[j], region)
+    return max(total, 0.0)
+
+
+def union_area(polys: list[list[np.ndarray]]) -> float:
+    """Area of the union of polygons (ST_Area(ST_Union(...)), A3).
+
+    Inclusion–exclusion truncated at pairs — exact when no three inputs
+    mutually overlap (building/greenness layers are disjoint-by-construction
+    in OSM; documented limitation otherwise).
+    """
+    total = sum(polygon_area(p) for p in polys)
+    for i in range(len(polys)):
+        for j in range(i + 1, len(polys)):
+            total -= intersection_area(polys[i], polys[j])
+    return max(total, 0.0)
+
+
+def polygons_intersect(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> bool:
+    if intersection_area(rings_a, rings_b) > EPS:
+        return True
+    # touching boundaries / degenerate: fall back to edge tests
+    for ra in rings_a:
+        for rb in rings_b:
+            if lines_intersect(ra, rb):
+                return True
+    return point_in_polygon(rings_a[0][0], rings_b) or point_in_polygon(
+        rings_b[0][0], rings_a
+    )
+
+
+# ---------------------------------------------------------------------------
+# line ∩ polygon (length + boolean)
+# ---------------------------------------------------------------------------
+
+def line_polygon_intersection_length(coords: np.ndarray, rings: list[np.ndarray]) -> float:
+    """ST_Length(ST_Intersection(line, polygon))."""
+    total = 0.0
+    for i in range(len(coords) - 1):
+        a, b = coords[i], coords[i + 1]
+        seg = b - a
+        seg_len = float(np.hypot(*seg))
+        if seg_len <= EPS:
+            continue
+        params = [0.0, 1.0]
+        for ring in rings:
+            for j in range(len(ring) - 1):
+                pts, ov = _seg_intersection(a, b, ring[j], ring[j + 1])
+                for p in pts:
+                    t = float((p - a) @ seg) / (seg_len * seg_len)
+                    params.append(min(max(t, 0.0), 1.0))
+                if ov is not None:
+                    for p in ov:
+                        t = float((p - a) @ seg) / (seg_len * seg_len)
+                        params.append(min(max(t, 0.0), 1.0))
+        params = sorted(set(params))
+        for k in range(len(params) - 1):
+            mid = a + (params[k] + params[k + 1]) / 2 * seg
+            if point_in_polygon(mid, rings):
+                total += (params[k + 1] - params[k]) * seg_len
+    return total
+
+
+def line_intersects_polygon(coords: np.ndarray, rings: list[np.ndarray]) -> bool:
+    for p in coords:
+        if point_in_polygon(p, rings):
+            return True
+    for ring in rings:
+        if lines_intersect(coords, ring):
+            return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# dwithin
+# ---------------------------------------------------------------------------
+
+def dwithin_point_line(p: np.ndarray, coords: np.ndarray, r: float) -> bool:
+    """ST_DWithin(point, line, r)."""
+    return point_line_dist(p, coords) <= r + EPS
+
+
+def dwithin_point_point(p: np.ndarray, q: np.ndarray, r: float) -> bool:
+    return float(np.hypot(*(p - q))) <= r + EPS

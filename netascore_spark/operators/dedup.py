@@ -1,0 +1,280 @@
+"""Deduplication operators for training-data pipelines (documents table).
+
+- exact            — hash-groupBy on content digest (md5), canonical=min id
+- ngram Jaccard    — shingle inverted-index candidate join + exact Jaccard
+- MinHash + LSH    — k permutations, b bands -> bucket join (scale path)
+- SimHash          — 64-bit near-dup signature, Hamming-bucket join
+
+Exact and ngram-Jaccard are pure DataFrame ops (SQL-oracle-able); MinHash/
+SimHash signatures need integer hashing loops -> Arrow pandas UDFs, verified
+in pytest against brute-force Jaccard instead of the SQL oracle.
+
+Scale notes: the shingle join explodes |docs| x |shingles| rows, so shingles
+that occur in more than ``max_df`` documents are dropped from candidate
+generation (stopword shingles would otherwise produce quadratic blowup in
+hot buckets — same skew story as hot H3 cells).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (digest, canonical_id, n_dups)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct text (the min-id representative)."""
+    w_min = (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return docs.join(w_min, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# word n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def _shingles(text_col: str, n: int):
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def with_shingles(docs: DataFrame, id_col="doc_id", text_col="text", n=3) -> DataFrame:
+    return docs.select(F.col(id_col), _shingles(text_col, n).alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-duplicate pairs with word-``n``-gram Jaccard >= threshold.
+
+    Candidates: docs sharing >=1 (non-stop) shingle; exact Jaccard via
+    |A∩B| / (|A|+|B|-|A∩B|) computed from the shared-shingle counts — no
+    second pass over the texts.
+    """
+    sh = with_shingles(docs, id_col, text_col, n)
+    sh = sh.withColumn("n_sh", F.size("shingles"))
+    inv = sh.select(id_col, "n_sh", F.explode("shingles").alias("shingle"))
+    # drop hot shingles (df > max_df) from candidate generation
+    df_counts = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+    inv = inv.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+    a = inv.select(
+        F.col("shingle"),
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
+    )
+    b = inv.select(
+        F.col("shingle"),
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+    )
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return shared.select(
+        "id_a", "id_b",
+        F.round(
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_P = (1 << 61) - 1  # Mersenne prime for universal hashing
+
+
+def _hash_shingles(shingles: list[str]) -> np.ndarray:
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+            for s in shingles
+        ],
+        dtype=np.uint64,
+    )
+
+
+def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _P, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _P, size=num_hashes, dtype=np.int64).astype(np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(shingles: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                out.append(None)
+                continue
+            h = _hash_shingles(list(sh))
+            # (a*h + b) mod P, min per hash fn — object dtype avoids overflow
+            vals = (
+                (a[:, None].astype(object) * h[None, :].astype(object) + b[:, None].astype(object))
+                % _P
+            )
+            out.append([int(v) for v in np.min(vals, axis=1)])
+        return pd.Series(out)
+
+    return _sig
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: docs sharing >=1 LSH bucket,
+    with the estimated Jaccard (signature agreement rate)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh = with_shingles(docs, id_col, text_col, n)
+    sig = sh.withColumn("sig", minhash_signature_udf(num_hashes, seed)(F.col("shingles"))).drop(
+        "shingles"
+    )
+    sig.persist()
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    buckets = sig.select(
+        F.col(id_col),
+        F.explode(band_idx).alias("band"),
+    ).join(sig.select(id_col, "sig"), id_col).select(
+        F.col(id_col),
+        F.col("band"),
+        F.xxhash64(
+            F.col("band"),
+            F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+        ).alias("bucket"),
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda e: e,
+                    )
+                )
+                / F.lit(float(num_hashes)),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_udf(bits: int = 64):
+    @F.pandas_udf(T.LongType())
+    def _simhash(shingles: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                out.append(None)
+                continue
+            acc = np.zeros(bits, dtype=np.int64)
+            shifts = np.arange(bits, dtype=np.uint64)
+            for h in _hash_shingles(list(sh)):
+                bitsarr = (np.uint64(h) >> shifts) & np.uint64(1)
+                acc += np.where(bitsarr == 1, 1, -1)
+            v = 0
+            for i in range(bits):
+                if acc[i] > 0:
+                    v |= 1 << i
+            # to signed int64
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    return _simhash
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed on 16-bit bands
+    (a pair within Hamming<=3 of 64 bits shares >=1 of 4 exact bands)."""
+    sh = with_shingles(docs, id_col, text_col, n)
+    sig = sh.withColumn("simhash", simhash_udf()(F.col("shingles"))).drop("shingles")
+    sig.persist()
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = sig.select(
+        id_col, "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
+    ).withColumn(
+        "bucket",
+        F.expr(f"(simhash >> (band * {band_bits})) & {mask}"),
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,360 @@
+"""Distributed spatial-join framework: cell-grid equi-join + exact refine.
+
+This is the engine's replacement for every GiST-indexed spatial join in the
+reference (SURVEY.md §2.3 J2-J9).  Pattern:
+
+1. **cover** — explode each geometry to its covering grid cells (Arrow
+   pandas UDF over WKB, `netascore_spark.grid`), radius queries pad the
+   cover by ``r`` (cell-ring expansion);
+2. **equi-join on cell** — Catalyst picks shuffle-hash/sort-merge/broadcast;
+   AQE splits skewed (hot urban) cells, and :func:`salt_cells` pre-salts
+   known-hot cells on top;
+3. **dedup pairs** — a pair can meet in several cells; ``dropDuplicates``
+   on the id pair;
+4. **refine** — exact geometry predicate via an Arrow pandas UDF using
+   :mod:`netascore_spark.geometry.ops`.
+
+At 100 TB the cover explode is a map-side operation; only (cell, id, wkb)
+tuples shuffle.  Small layers (routes, admin polygons) should be broadcast
+by the caller via ``F.broadcast``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from netascore_spark import grid
+from netascore_spark.geometry import ops, wkb
+
+
+# ---------------------------------------------------------------------------
+# cover UDFs
+# ---------------------------------------------------------------------------
+
+def cover_cells_udf(cell_size: float = grid.DEFAULT_CELL_SIZE, pad: float = 0.0):
+    """pandas UDF: WKB binary -> array<long> of covering cells."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(geoms: pd.Series) -> pd.Series:
+        out = []
+        for data in geoms:
+            if data is None:
+                out.append(None)
+                continue
+            kind, body = wkb.decode(bytes(data))
+            if kind == "Point":
+                cells = grid.cover_point(body[0], body[1], cell_size, pad)
+            elif kind == "LineString":
+                cells = grid.cover_line(body, cell_size, pad)
+            elif kind == "Polygon":
+                cells = grid.cover_polygon(body, cell_size, pad)
+            else:  # multi/collection: bbox cover
+                bb = wkb.bbox((kind, body))
+                cells = grid.cover_bbox(*bb, cell_size, pad)
+            out.append(cells.tolist())
+        return pd.Series(out)
+
+    return _cover
+
+
+def point_cell_udf(cell_size: float = grid.DEFAULT_CELL_SIZE):
+    """pandas UDF: (x, y) double columns -> single cell id (vectorized)."""
+
+    @F.pandas_udf(T.LongType())
+    def _cell(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(grid.cell(x.to_numpy(), y.to_numpy(), cell_size))
+
+    return _cell
+
+
+def with_cells(
+    df: DataFrame,
+    geom_col: str = "geom",
+    cell_size: float = grid.DEFAULT_CELL_SIZE,
+    pad: float = 0.0,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Explode df to one row per (row, covering cell)."""
+    return df.withColumn(
+        cell_col, F.explode(cover_cells_udf(cell_size, pad)(F.col(geom_col)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# candidate generation
+# ---------------------------------------------------------------------------
+
+def candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+    cell_size: float = grid.DEFAULT_CELL_SIZE,
+    pad: float = 0.0,
+    pad_side: str = "left",
+    extra_left: list[str] | None = None,
+    extra_right: list[str] | None = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Distinct candidate (left, right) pairs meeting in >=1 grid cell.
+
+    ``pad`` expands the cover of ``pad_side`` — used for ST_DWithin(r) and
+    buffer joins, where only one side needs the ring expansion.
+    """
+    lcols = [left_id, left_geom] + (extra_left or [])
+    rcols = [right_id, right_geom] + (extra_right or [])
+    lpad = pad if pad_side == "left" else 0.0
+    rpad = pad if pad_side == "right" else 0.0
+    lc = with_cells(left.select(*lcols), left_geom, cell_size, lpad)
+    rc = with_cells(right.select(*rcols), right_geom, cell_size, rpad)
+    rc = rc.withColumnsRenamed(
+        {c: f"__r_{c}" for c in rcols if c in lcols}
+    )
+    r_id = f"__r_{right_id}" if right_id in lcols else right_id
+    r_geom = f"__r_{right_geom}" if right_geom in lcols else right_geom
+    if broadcast_right:
+        rc = F.broadcast(rc)
+    pairs = lc.join(rc, "cell").drop("cell")
+    pairs = pairs.dropDuplicates([left_id, r_id])
+    renames = {}
+    if r_id != right_id:
+        renames[r_id] = f"r_{right_id}"
+    if r_geom != right_geom:
+        renames[r_geom] = f"r_{right_geom}"
+    return pairs.withColumnsRenamed(renames)
+
+
+# ---------------------------------------------------------------------------
+# refine UDFs (exact predicates over WKB pairs)
+# ---------------------------------------------------------------------------
+
+def _binary_pair_udf(fn: Callable, rettype):
+    @F.pandas_udf(rettype)
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ga, gb in zip(a, b):
+            if ga is None or gb is None:
+                out.append(None)
+            else:
+                out.append(fn(wkb.decode(bytes(ga)), wkb.decode(bytes(gb))))
+        return pd.Series(out)
+
+    return _udf
+
+
+def intersects_udf():
+    """ST_Intersects for any geometry pair (line/line, line/poly, pt/poly)."""
+
+    def fn(a, b):
+        ka, kb = a[0], b[0]
+        if ka == "LineString" and kb == "LineString":
+            return ops.lines_intersect(a[1], b[1])
+        if ka == "LineString" and kb == "Polygon":
+            return ops.line_intersects_polygon(a[1], b[1])
+        if ka == "Polygon" and kb == "LineString":
+            return ops.line_intersects_polygon(b[1], a[1])
+        if ka == "Point" and kb == "Polygon":
+            return bool(ops.point_in_polygon(a[1], b[1]))
+        if ka == "Polygon" and kb == "Point":
+            return bool(ops.point_in_polygon(b[1], a[1]))
+        if ka == "Polygon" and kb == "Polygon":
+            return ops.polygons_intersect(a[1], b[1])
+        if ka == "Point" and kb == "LineString":
+            return ops.point_on_line(a[1], b[1], 1e-7)
+        if ka == "LineString" and kb == "Point":
+            return ops.point_on_line(b[1], a[1], 1e-7)
+        raise ValueError(f"intersects: unsupported pair {ka}/{kb}")
+
+    return _binary_pair_udf(fn, T.BooleanType())
+
+
+def contains_line_udf():
+    """ST_Contains(a linestring, b linestring) — route containment (J4)."""
+    return _binary_pair_udf(
+        lambda a, b: ops.line_contains_line(a[1], b[1]), T.BooleanType()
+    )
+
+
+def dwithin_udf(radius: float):
+    """ST_DWithin(point a, line/point b, radius) (J5)."""
+
+    def fn(a, b):
+        p = a[1] if a[0] == "Point" else None
+        if p is None:
+            raise ValueError("dwithin: left side must be Point")
+        if b[0] == "LineString":
+            return ops.dwithin_point_line(p, b[1], radius)
+        if b[0] == "Point":
+            return ops.dwithin_point_point(p, b[1], radius)
+        raise ValueError(f"dwithin: unsupported right {b[0]}")
+
+    return _binary_pair_udf(fn, T.BooleanType())
+
+
+def intersection_area_udf():
+    """ST_Area(ST_Intersection(poly a, poly b)) (J6 buffers x buildings)."""
+    return _binary_pair_udf(
+        lambda a, b: float(ops.intersection_area(a[1], b[1])), T.DoubleType()
+    )
+
+
+def intersection_length_udf():
+    """ST_Length(ST_Intersection(line a, poly b)) (J7 water, J8 noise)."""
+
+    def fn(a, b):
+        if a[0] == "LineString" and b[0] == "Polygon":
+            return float(ops.line_polygon_intersection_length(a[1], b[1]))
+        if a[0] == "Polygon" and b[0] == "LineString":
+            return float(ops.line_polygon_intersection_length(b[1], a[1]))
+        raise ValueError(f"intersection_length: unsupported {a[0]}/{b[0]}")
+
+    return _binary_pair_udf(fn, T.DoubleType())
+
+
+def point_in_polygon_udf():
+    return _binary_pair_udf(
+        lambda a, b: bool(ops.point_in_polygon(a[1], b[1])), T.BooleanType()
+    )
+
+
+def buffer_udf(radius: float, cap: str = "flat", quad_segs: int = 8):
+    """WKB linestring -> WKB polygon buffer (ST_Buffer ... 'endcap=flat')."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _buf(geoms: pd.Series) -> pd.Series:
+        out = []
+        for data in geoms:
+            if data is None:
+                out.append(None)
+                continue
+            kind, body = wkb.decode(bytes(data))
+            if kind == "LineString":
+                ring = ops.buffer_line(body, radius, cap, quad_segs)
+            elif kind == "Point":
+                ring = ops.buffer_point(body, radius, quad_segs)
+            else:
+                raise ValueError(f"buffer: unsupported {kind}")
+            out.append(wkb.encode(("Polygon", [ring])))
+        return pd.Series(out)
+
+    return _buf
+
+
+def geom_length_udf():
+    """ST_Length over WKB linestrings."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _len(geoms: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if g is None else float(ops.length(wkb.decode(bytes(g))[1]))
+                for g in geoms
+            ]
+        )
+
+    return _len
+
+
+def geom_area_udf():
+    """ST_Area over WKB polygons."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _area(geoms: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if g is None else float(ops.polygon_area(wkb.decode(bytes(g))[1]))
+                for g in geoms
+            ]
+        )
+
+    return _area
+
+
+def endpoints_udf():
+    """ST_StartPoint/ST_EndPoint: WKB line -> struct(x0,y0,x1,y1)."""
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("x0", T.DoubleType()),
+                T.StructField("y0", T.DoubleType()),
+                T.StructField("x1", T.DoubleType()),
+                T.StructField("y1", T.DoubleType()),
+            ]
+        )
+    )
+    def _ends(geoms: pd.Series) -> pd.DataFrame:
+        rows = []
+        for g in geoms:
+            if g is None:
+                rows.append((None, None, None, None))
+            else:
+                c = wkb.decode(bytes(g))[1]
+                rows.append((float(c[0, 0]), float(c[0, 1]), float(c[-1, 0]), float(c[-1, 1])))
+        return pd.DataFrame(rows, columns=["x0", "y0", "x1", "y1"])
+
+    return _ends
+
+
+# ---------------------------------------------------------------------------
+# skew salting (north rule: hot urban cells)
+# ---------------------------------------------------------------------------
+
+def hot_cells(df_cells: DataFrame, cell_col: str = "cell", threshold: int = 100_000):
+    """Histogram pass: cells whose row count exceeds ``threshold``.
+
+    Used to pre-salt known-hot tiles; AQE skew-join handles the rest at
+    runtime.  Returns a (small) list collected to the driver — at 100 TB the
+    hot-cell set is bounded by world urban area / cell area (~10^5), fine.
+    """
+    return [
+        r[cell_col]
+        for r in df_cells.groupBy(cell_col).count().filter(F.col("count") > threshold).collect()
+    ]
+
+
+def salt_cells(
+    big: DataFrame,
+    small: DataFrame,
+    hot: list[int],
+    cell_col: str = "cell",
+    salt_buckets: int = 8,
+):
+    """Salt hot cells: the big (probe) side gets a random-ish salt from a
+    stable hash, the small (build) side is replicated ``salt_buckets`` times
+    for hot cells.  Join both on ``cell_salt``.
+    """
+    hot_arr = F.array(*[F.lit(h) for h in hot]) if hot else F.array().cast("array<long>")
+    big_s = big.withColumn(
+        "cell_salt",
+        F.when(
+            F.array_contains(hot_arr, F.col(cell_col)),
+            F.concat_ws(
+                "_", F.col(cell_col).cast("string"),
+                (F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))).cast("string"),
+            ),
+        ).otherwise(F.col(cell_col).cast("string")),
+    )
+    salts = F.explode(
+        F.when(
+            F.array_contains(hot_arr, F.col(cell_col)),
+            F.array(*[F.lit(i) for i in range(salt_buckets)]),
+        ).otherwise(F.array(F.lit(-1)))
+    )
+    small_s = small.withColumn("__salt", salts).withColumn(
+        "cell_salt",
+        F.when(
+            F.col("__salt") >= 0,
+            F.concat_ws("_", F.col(cell_col).cast("string"), F.col("__salt").cast("string")),
+        ).otherwise(F.col(cell_col).cast("string")),
+    ).drop("__salt")
+    return big_s, small_s

@@ -1,0 +1,375 @@
+"""Attributes stage: network_edge (+ layers) -> network_edge_attributes.
+
+Spark re-realization of ``sql/templates/osm_attributes.sql.j2``.  The
+reference widens one table ~20 times via copy-on-write (SURVEY §1.2); here
+the pure-column attributes are ONE projection and each spatial layer joins
+once on ``edge_id`` — Catalyst fuses the rest.
+
+Layout of the output table: ``edge_id`` + the exact 33 attribute columns of
+osm_attributes.sql.j2:1115-1148.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from netascore_spark.functions import access as ACC
+from netascore_spark.functions import attributes as A
+from netascore_spark.geometry import ops, wkb
+from netascore_spark.operators import spatial
+
+DEM_CELL = 10.0  # fixture DEM grid resolution (meters)
+
+
+# ---------------------------------------------------------------------------
+# pure-column attributes (one codegen'd projection)
+# ---------------------------------------------------------------------------
+
+def base_attributes(edges: DataFrame) -> DataFrame:
+    e = ACC.with_access_columns(edges)
+    ms = A.max_speed_clamped(A.max_speed_raw())
+    e = (
+        e.withColumn("bridge_flag", A.bridge_flag())
+        .withColumn("tunnel_flag", A.tunnel_flag())
+        .withColumn("stairs", A.stairs_flag())
+        .withColumn("bicycle_infrastructure_ft", A.bicycle_infrastructure())
+        .withColumn("bicycle_infrastructure_tf", F.col("bicycle_infrastructure_ft"))
+        .withColumn(
+            "pedestrian_infrastructure_ft",
+            A.pedestrian_infrastructure(F.col("access_pedestrian_ft")),
+        )
+        .withColumn(
+            "pedestrian_infrastructure_tf", F.col("pedestrian_infrastructure_ft")
+        )
+        .withColumn("road_category", A.road_category())
+        .withColumn("max_speed_ft", ms)
+        .withColumn("max_speed_tf", ms)
+        .withColumn("max_speed_greatest", ms)
+        .withColumn("parking_ft", F.lit(None).cast("string"))  # never computed (attributes.md:84)
+        .withColumn("parking_tf", F.lit(None).cast("string"))
+        .withColumn("pavement", A.pavement())
+        .withColumn("width_parsed", A.width())
+        .withColumn("number_lanes_ft", A.number_lanes_ft())
+        .withColumn("number_lanes_tf", A.number_lanes_tf())
+    )
+    return e
+
+
+# ---------------------------------------------------------------------------
+# designated_route (J4 containment + A5 priority pick)
+# ---------------------------------------------------------------------------
+
+def designated_route(edges: DataFrame, osm_line: DataFrame, cell_size: float) -> DataFrame:
+    routes = (
+        osm_line.filter(F.col("route") == "bicycle")
+        .select(
+            F.col("osm_id").alias("route_id"),
+            F.col("way").alias("geom"),
+            A.route_tier().alias("route"),
+        )
+    )
+    cand = spatial.candidate_pairs(
+        edges.select("edge_id", "geom"),
+        routes,
+        "edge_id", "route_id",
+        cell_size=cell_size,
+        extra_right=["route"],
+        broadcast_right=True,
+    )
+    contained = cand.filter(
+        spatial.contains_line_udf()(F.col("r_geom"), F.col("geom"))
+    )
+    picked = contained.groupBy("edge_id").agg(
+        A.designated_route_pick(F.collect_set("route")).alias("designated_route")
+    )
+    return picked
+
+
+# ---------------------------------------------------------------------------
+# elevation + gradient (J9 raster-sample join + J10)
+# ---------------------------------------------------------------------------
+
+def node_elevation(nodes: DataFrame, dem: DataFrame, dem_cell: float = DEM_CELL) -> DataFrame:
+    """DEM raster -> vector grid equi-join: node joins its containing cell."""
+    n = nodes.withColumn(
+        "cell_x", F.floor(F.col("x") / F.lit(dem_cell)).cast("long")
+    ).withColumn("cell_y", F.floor(F.col("y") / F.lit(dem_cell)).cast("long"))
+    return n.join(F.broadcast(dem), ["cell_x", "cell_y"], "left").select(
+        "node_id", F.round(F.col("elevation"), 2).alias("elevation")
+    )
+
+
+def gradient(edges: DataFrame, node_attrs: DataFrame, attrs: DataFrame) -> DataFrame:
+    e = (
+        edges.select("edge_id", "from_node", "to_node", "length")
+        .join(
+            attrs.select("edge_id", "bridge_flag", "tunnel_flag"), "edge_id"
+        )
+        .filter(~F.col("bridge_flag") & ~F.col("tunnel_flag"))
+        .join(
+            node_attrs.select(
+                F.col("node_id").alias("from_node"), F.col("elevation").alias("elev_from")
+            ),
+            "from_node",
+        )
+        .join(
+            node_attrs.select(
+                F.col("node_id").alias("to_node"), F.col("elevation").alias("elev_to")
+            ),
+            "to_node",
+        )
+        .withColumn(
+            "gradient",
+            F.round((F.col("elev_to") - F.col("elev_from")) / F.col("length") * 100.0, 2),
+        )
+    )
+    return e.select(
+        "edge_id", A.gradient_class(F.col("gradient")).alias("gradient_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# proximity counts (J5) — facilities 30 m, crossings 10 m
+# ---------------------------------------------------------------------------
+
+def proximity_ratio(
+    edges: DataFrame,
+    points: DataFrame,
+    point_id: str,
+    radius: float,
+    cell_size: float,
+) -> DataFrame:
+    """count(points within radius of edge) / length * 100 (A2 + ratio)."""
+    cand = spatial.candidate_pairs(
+        points.select(point_id, "geom"),
+        edges.select(F.col("edge_id"), F.col("geom")),
+        point_id, "edge_id",
+        cell_size=cell_size,
+        pad=radius, pad_side="left",
+    )
+    hits = cand.filter(spatial.dwithin_udf(radius)(F.col("geom"), F.col("r_geom")))
+    counts = hits.groupBy("edge_id").agg(F.count("*").alias("cnt"))
+    return counts.join(edges.select("edge_id", "length"), "edge_id").select(
+        "edge_id",
+        F.round(F.col("cnt") / F.col("length") * 100.0, 2).alias("ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# buffer overlays (J6 + A3) — buildings 20 m, greenness 30 m
+# ---------------------------------------------------------------------------
+
+_UNION_RATIO_TYPE = T.StructType(
+    [
+        T.StructField("edge_id", T.LongType()),
+        T.StructField("ratio", T.DoubleType()),
+    ]
+)
+
+
+def buffer_overlay_ratio(
+    edges: DataFrame,
+    polys: DataFrame,
+    poly_id: str,
+    radius: float,
+    cell_size: float,
+) -> DataFrame:
+    """least(ST_Area(ST_Union(poly ∩ buffer)) / buffer_area * 100, 100).
+
+    Union-before-area per edge via grouped pandas (A3) — prevents double
+    counting overlapping polygons, matching osm_attributes.sql.j2:946-951.
+    """
+    buffers = edges.select(
+        "edge_id", spatial.buffer_udf(radius, "flat")(F.col("geom")).alias("geom")
+    )
+    cand = spatial.candidate_pairs(
+        buffers, polys.select(poly_id, "geom"),
+        "edge_id", poly_id,
+        cell_size=cell_size,
+    )
+
+    def union_ratio(pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = wkb.decode(bytes(pdf["geom"].iloc[0]))[1]
+        buffer_area = ops.polygon_area(buf)
+        pieces = [wkb.decode(bytes(g))[1] for g in pdf["r_geom"]]
+        ua = ops.union_area_in_region(pieces, buf)
+        if ua <= 0:
+            return pd.DataFrame(columns=["edge_id", "ratio"]).astype(
+                {"edge_id": "int64", "ratio": "float64"}
+            )
+        ratio = min(ua / buffer_area * 100.0, 100.0)
+        return pd.DataFrame({"edge_id": [pdf["edge_id"].iloc[0]], "ratio": [ratio]})
+
+    return (
+        cand.groupBy("edge_id")
+        .applyInPandas(union_ratio, schema=_UNION_RATIO_TYPE)
+        .withColumn("ratio", F.round(F.col("ratio"), 2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# water (J7) and noise (J8)
+# ---------------------------------------------------------------------------
+
+def water_flag(edges: DataFrame, water: DataFrame, cell_size: float) -> DataFrame:
+    buffers = edges.select(
+        "edge_id", "length", spatial.buffer_udf(30.0, "flat")(F.col("geom")).alias("geom")
+    )
+    lines = water.filter(F.col("geom_type") == "line")
+    polys = water.filter(F.col("geom_type") == "polygon")
+
+    lc = spatial.candidate_pairs(
+        buffers, lines.select("water_id", "geom"), "edge_id", "water_id",
+        cell_size=cell_size, extra_left=["length"],
+    )
+    line_hits = (
+        lc.withColumn(
+            "ilen", spatial.intersection_length_udf()(F.col("r_geom"), F.col("geom"))
+        )
+        .filter((F.col("ilen") / F.col("length")).between(0.8, 1.6))
+        .select("edge_id")
+    )
+    pc = spatial.candidate_pairs(
+        buffers, polys.select("water_id", "geom"), "edge_id", "water_id",
+        cell_size=cell_size,
+    )
+    poly_hits = pc.filter(
+        spatial.intersects_udf()(F.col("geom"), F.col("r_geom"))
+    ).select("edge_id")
+    return line_hits.unionByName(poly_hits).distinct()
+
+
+def noise_sum(edges: DataFrame, noise: DataFrame, cell_size: float) -> DataFrame:
+    cand = spatial.candidate_pairs(
+        edges.select("edge_id", "length", "geom"),
+        noise.select("noise_id", "geom", "noise"),
+        "edge_id", "noise_id",
+        cell_size=cell_size, extra_left=["length"], extra_right=["noise"],
+    )
+    pieces = cand.withColumn(
+        "ilen", spatial.intersection_length_udf()(F.col("geom"), F.col("r_geom"))
+    ).filter(F.col("ilen") > 0)
+    return pieces.groupBy("edge_id").agg(
+        F.round(F.sum(F.col("ilen") / F.col("length") * F.col("noise")), 0).alias("noise")
+    )
+
+
+# ---------------------------------------------------------------------------
+# assembly
+# ---------------------------------------------------------------------------
+
+ATTRIBUTE_COLUMNS = [
+    "access_car_ft", "access_car_tf", "access_bicycle_ft", "access_bicycle_tf",
+    "access_pedestrian_ft", "access_pedestrian_tf", "bridge", "tunnel",
+    "stairs", "bicycle_infrastructure_ft", "bicycle_infrastructure_tf",
+    "pedestrian_infrastructure_ft", "pedestrian_infrastructure_tf",
+    "designated_route_ft", "designated_route_tf", "road_category",
+    "max_speed_ft", "max_speed_tf", "max_speed_greatest", "parking_ft",
+    "parking_tf", "pavement", "width", "gradient_ft", "gradient_tf",
+    "number_lanes_ft", "number_lanes_tf", "facilities", "crossings",
+    "buildings", "greenness", "water", "noise",
+]
+
+
+def build_attributes(
+    edges: DataFrame,
+    nodes: DataFrame,
+    osm_line: DataFrame | None = None,
+    layers: dict[str, DataFrame] | None = None,
+    cell_size: float = 200.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (network_edge_attributes, network_node_attributes)."""
+    layers = layers or {}
+    attrs = base_attributes(edges)
+
+    # designated_route (coalesce 'no', osm_attributes.sql.j2:566-567)
+    if osm_line is not None:
+        dr = designated_route(edges, osm_line, cell_size)
+        attrs = attrs.join(dr, "edge_id", "left")
+        attrs = attrs.withColumn(
+            "designated_route_ft", F.coalesce(F.col("designated_route"), F.lit("no"))
+        ).withColumn(
+            "designated_route_tf", F.coalesce(F.col("designated_route"), F.lit("no"))
+        ).drop("designated_route")
+    else:
+        attrs = attrs.withColumn("designated_route_ft", F.lit("no")).withColumn(
+            "designated_route_tf", F.lit("no")
+        )
+
+    # elevation / gradient
+    if "dem" in layers:
+        node_attrs = node_elevation(nodes, layers["dem"])
+        grad = gradient(edges, node_attrs, attrs)
+        attrs = attrs.join(grad, "edge_id", "left")
+        attrs = attrs.withColumn(
+            "gradient_ft", F.col("gradient_class").cast("double")
+        ).withColumn(
+            "gradient_tf", (-F.col("gradient_class")).cast("double")
+        ).drop("gradient_class")
+    else:
+        node_attrs = nodes.select("node_id", F.lit(None).cast("double").alias("elevation"))
+        attrs = attrs.withColumn("gradient_ft", F.lit(None).cast("double")).withColumn(
+            "gradient_tf", F.lit(None).cast("double")
+        )
+
+    # facilities / crossings (coalesce 0)
+    for layer, radius, colname in [("facility", 30.0, "facilities"), ("crossing", 10.0, "crossings")]:
+        if layer in layers:
+            pr = proximity_ratio(edges, layers[layer], f"{layer}_id", radius, cell_size)
+            attrs = attrs.join(
+                pr.withColumnRenamed("ratio", colname), "edge_id", "left"
+            ).withColumn(colname, F.coalesce(F.col(colname), F.lit(0.0)))
+        else:
+            attrs = attrs.withColumn(colname, F.lit(None).cast("double"))
+
+    # buildings / greenness buffer overlays (coalesce 0)
+    for layer, radius, colname in [("building", 20.0, "buildings"), ("greenness", 30.0, "greenness")]:
+        if layer in layers:
+            br = buffer_overlay_ratio(edges, layers[layer], f"{layer}_id", radius, cell_size)
+            attrs = attrs.join(
+                br.withColumnRenamed("ratio", colname), "edge_id", "left"
+            ).withColumn(colname, F.coalesce(F.col(colname), F.lit(0.0)))
+        else:
+            attrs = attrs.withColumn(colname, F.lit(None).cast("double"))
+
+    # water boolean
+    if "water" in layers:
+        wf = water_flag(edges, layers["water"], cell_size).withColumn(
+            "water", F.lit(True)
+        )
+        attrs = attrs.join(wf, "edge_id", "left").withColumn(
+            "water", F.coalesce(F.col("water"), F.lit(False))
+        )
+    else:
+        attrs = attrs.withColumn("water", F.lit(None).cast("boolean"))
+
+    # noise (stays NULL where no overlay — osm_attributes.sql.j2:1101)
+    if "noise" in layers:
+        ns = noise_sum(edges, layers["noise"], cell_size)
+        attrs = attrs.join(ns, "edge_id", "left")
+    else:
+        attrs = attrs.withColumn("noise", F.lit(None).cast("double"))
+
+    out = attrs.select(
+        "edge_id",
+        *[
+            F.col(
+                {"bridge": "bridge_flag", "tunnel": "tunnel_flag", "width": "width_parsed"}.get(c, c)
+            ).alias(c)
+            for c in ATTRIBUTE_COLUMNS
+        ],
+    )
+    return out, node_attrs
+
+
+def edge_export(edges: DataFrame) -> DataFrame:
+    """network_edge_export (osm_attributes.sql.j2:1163-1175)."""
+    return edges.select(
+        "edge_id", "osm_id", "from_node", "to_node", "geom", "length",
+        A.net_type().alias("net_type"),
+    )

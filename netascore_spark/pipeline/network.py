@@ -1,0 +1,423 @@
+"""Network construction stage: osm_line -> network_edge / network_node.
+
+Spark re-realization of ``sql/templates/osm_network.sql.j2`` — the
+intersection-discovery spatial self-join (J2), the five correction deletes
+(U4), ST_Split-equivalent edge splitting, the indoor dangling-edge fixpoint
+(F5), and deterministic edge/node id assignment (W3/W4).
+
+Scale shape: one cell-grid self-join (shuffle on cell id), one groupBy
+(split targets per osm_id), one join (split application), two id
+assignments.  Everything else is map-side.  The eager
+``CREATE TABLE``-per-step of the reference collapses into one lazy plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from netascore_spark.functions import attributes as A
+from netascore_spark.functions import vocab
+from netascore_spark.geometry import ops, wkb
+from netascore_spark.operators import ids as ids_op
+from netascore_spark.operators import spatial
+
+_EPS_PT = 1e-7  # point-equality tolerance for constructed intersections
+NODE_DECIMALS = 6  # node-identity coordinate rounding (µm-scale in meters)
+
+
+# ---------------------------------------------------------------------------
+# stage 1: network_init (osm_network.sql.j2:14-54)
+# ---------------------------------------------------------------------------
+
+def network_init(
+    osm_line: DataFrame,
+    include_rail: bool = False,
+    include_aerialway: bool = False,
+) -> DataFrame:
+    cond = F.col("highway").isin(vocab.NETWORK_HIGHWAY)
+    if include_rail:
+        cond = cond | F.col("railway").isin(vocab.NETWORK_RAILWAY)
+    if include_aerialway:
+        cond = cond | F.col("aerialway").isin(vocab.NETWORK_AERIALWAY)
+    out = (
+        osm_line.filter((F.col("osm_id") >= 0) & cond)
+        .withColumn("bridge", A.bridge_normalized())
+        .withColumn("tunnel", A.tunnel_normalized())
+    )
+    if "way" in out.columns:
+        out = out.withColumnRenamed("way", "geom")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# stage 2: link_points (osm_network.sql.j2:61-75)
+# ---------------------------------------------------------------------------
+
+def link_points(net_init: DataFrame) -> DataFrame:
+    ends = spatial.endpoints_udf()(F.col("geom"))
+    return net_init.select(
+        "osm_id",
+        "geom",
+        "bridge",
+        "tunnel",
+        A.escalator().alias("escalator"),
+        A.indoor().alias("indoor"),
+        A.layer_array().alias("layer_arr"),
+        F.col("layer").alias("raw_layer"),
+        ends.alias("ends"),
+    ).select("*", "ends.*").drop("ends")
+
+
+# ---------------------------------------------------------------------------
+# stage 3: intersection discovery (osm_network.sql.j2:78-127) — J2
+# ---------------------------------------------------------------------------
+
+_PAIR_POINTS_TYPE = T.ArrayType(
+    T.StructType([T.StructField("px", T.DoubleType()), T.StructField("py", T.DoubleType())])
+)
+
+
+@F.pandas_udf(_PAIR_POINTS_TYPE)
+def _intersection_points(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Point components of ST_Intersection(lineA, lineB).
+
+    Reproduces the reference's post-processing (osm_network.sql.j2:108-127):
+    points of GeometryCollections/MultiPoints are kept, pure line/multiline
+    results contribute nothing.
+    """
+    out = []
+    for ga, gb in zip(a, b):
+        ca = wkb.decode(bytes(ga))[1]
+        cb = wkb.decode(bytes(gb))[1]
+        pts, _overlaps = ops.line_line_intersection(ca, cb)
+        out.append([(float(p[0]), float(p[1])) for p in pts])
+    return pd.Series(out)
+
+
+def intersections(lp: DataFrame, cell_size: float) -> DataFrame:
+    """Candidate pairs -> exact intersection points with pair attributes."""
+    attrs = [
+        "osm_id", "bridge", "tunnel", "escalator", "indoor", "layer_arr",
+        "raw_layer", "x0", "y0", "x1", "y1",
+    ]
+    lc = spatial.with_cells(lp.select(*attrs, "geom"), "geom", cell_size)
+    a = lc.select(
+        F.col("cell"), *[F.col(c).alias(f"{c}_1") for c in attrs], F.col("geom").alias("geom_1")
+    )
+    b = lc.select(
+        F.col("cell"), *[F.col(c).alias(f"{c}_2") for c in attrs], F.col("geom").alias("geom_2")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("osm_id_1") < F.col("osm_id_2"))
+        .drop("cell")
+        .dropDuplicates(["osm_id_1", "osm_id_2"])
+    )
+    # NOT ST_Equals on the four endpoint combinations (osm_network.sql.j2:100-103)
+    for s1 in ("0", "1"):
+        for s2 in ("0", "1"):
+            pairs = pairs.filter(
+                ~(
+                    (F.col(f"x{s1}_1") == F.col(f"x{s2}_2"))
+                    & (F.col(f"y{s1}_1") == F.col(f"y{s2}_2"))
+                )
+            )
+    pts = pairs.withColumn(
+        "ipoints", _intersection_points(F.col("geom_1"), F.col("geom_2"))
+    ).drop("geom_1", "geom_2")
+    exploded = pts.select("*", F.explode("ipoints").alias("ipt")).drop("ipoints")
+    return exploded.select("*", "ipt.px", "ipt.py").drop("ipt")
+
+
+def dedup_intersections(inter: DataFrame) -> DataFrame:
+    """DISTINCT ON (geom) with the reference's deterministic ORDER BY
+    (osm_network.sql.j2:131-135, A6/W1)."""
+    order_cols = [
+        "osm_id_1", "bridge_1", "tunnel_1", "escalator_1", "indoor_1",
+        F.array_join(F.col("layer_arr_1"), ";").asc_nulls_first(),
+        "x0_1", "y0_1", "x1_1", "y1_1",
+        "osm_id_2", "bridge_2", "tunnel_2", "escalator_2", "indoor_2",
+        F.array_join(F.col("layer_arr_2"), ";").asc_nulls_first(),
+        "x0_2", "y0_2", "x1_2", "y1_2",
+    ]
+    key = [F.round(F.col("px"), 7), F.round(F.col("py"), 7)]
+    w = Window.partitionBy(*key).orderBy(*order_cols)
+    return (
+        inter.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _not_near_endpoints(tol: float) -> F.Column:
+    """NOT ST_Intersects(pt, endpoint_i) for all four endpoints."""
+    cond = F.lit(True)
+    for side in ("1", "2"):
+        for e in ("0", "1"):
+            d2 = (F.col("px") - F.col(f"x{e}_{side}")) ** 2 + (
+                F.col("py") - F.col(f"y{e}_{side}")
+            ) ** 2
+            cond = cond & (d2 > F.lit(tol * tol))
+    return cond
+
+
+def apply_correction_deletes(inter: DataFrame) -> DataFrame:
+    """The five correction DELETEs (osm_network.sql.j2:138-210) as negated
+    filters (U4)."""
+    away = _not_near_endpoints(_EPS_PT)
+    away_buffered = _not_near_endpoints(0.01)  # ST_Buffer(geom, 0.01) variant
+
+    d_bridge = (
+        (
+            F.col("bridge_1").isNotNull() | F.col("bridge_2").isNotNull()
+            | F.col("escalator_1").isNotNull() | F.col("escalator_2").isNotNull()
+        )
+        & away
+    )
+    layers_disjoint = (
+        (F.col("layer_arr_1").isNull() & F.col("layer_arr_2").isNotNull())
+        | (F.col("layer_arr_1").isNotNull() & F.col("layer_arr_2").isNull())
+        | (F.arrays_overlap(F.col("layer_arr_1"), F.col("layer_arr_2")) == F.lit(False))
+    )
+    d_layer = layers_disjoint & away
+    d_tunnel = (
+        F.col("layer_arr_1").isNull()
+        & F.col("layer_arr_2").isNull()
+        & (
+            (
+                F.col("tunnel_1").isNotNull()
+                & F.col("tunnel_2").isNull()
+                & F.col("indoor_2").isNull()
+            )
+            | (
+                F.col("tunnel_2").isNotNull()
+                & F.col("tunnel_1").isNull()
+                & F.col("indoor_1").isNull()
+            )
+        )
+        & away
+    )
+    # fifth delete: raw `layer` string mismatch, 0.01-buffered endpoint test
+    d_rawlayer = (F.col("raw_layer_1") != F.col("raw_layer_2")) & away_buffered
+
+    keep = (
+        ~F.coalesce(d_bridge, F.lit(False))
+        & ~F.coalesce(d_layer, F.lit(False))
+        & ~F.coalesce(d_tunnel, F.lit(False))
+        & ~F.coalesce(d_rawlayer, F.lit(False))
+    )
+    return inter.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# stage 4: split (osm_network.sql.j2:213-250) — A1 + ST_Split
+# ---------------------------------------------------------------------------
+
+def split_targets(inter: DataFrame) -> DataFrame:
+    """intersecting_links: per osm_id, the set of split points (A1)."""
+    pts = (
+        inter.select(F.col("osm_id_1").alias("osm_id"), "px", "py")
+        .unionByName(inter.select(F.col("osm_id_2").alias("osm_id"), "px", "py"))
+        .distinct()  # UNION dedup semantics (osm_network.sql.j2:215-221)
+    )
+    return pts.groupBy("osm_id").agg(
+        F.collect_list(F.struct("px", "py")).alias("split_points")
+    )
+
+
+_SPLIT_TYPE = T.ArrayType(T.BinaryType())
+
+
+@F.pandas_udf(_SPLIT_TYPE)
+def _split_pieces(geom: pd.Series, points: pd.Series) -> pd.Series:
+    out = []
+    for g, pts in zip(geom, points):
+        coords = wkb.decode(bytes(g))[1]
+        cut_pts = [np.array([p["px"], p["py"]]) for p in pts]
+        pieces = ops.split_line(coords, cut_pts)
+        out.append([wkb.encode(("LineString", p)) for p in pieces])
+    return pd.Series(out)
+
+
+def split_edges(net_init: DataFrame, targets: DataFrame) -> DataFrame:
+    """network_corrected: split touched edges, pass the rest through."""
+    passthrough = [c for c in net_init.columns if c != "geom"]
+    touched = net_init.join(targets, "osm_id")
+    split = touched.withColumn(
+        "pieces", _split_pieces(F.col("geom"), F.col("split_points"))
+    ).drop("geom", "split_points")
+    split = (
+        split.select("*", F.posexplode("pieces").alias("seg_seq", "geom"))
+        .drop("pieces")
+    )
+    untouched = net_init.join(targets.select("osm_id"), "osm_id", "left_anti")
+    untouched = untouched.withColumn("seg_seq", F.lit(0))
+    out = split.select(*passthrough, "seg_seq", "geom").unionByName(
+        untouched.select(*passthrough, "seg_seq", "geom")
+    )
+    # UNION (dedup) semantics of osm_network.sql.j2:241
+    return out.dropDuplicates(["osm_id", "seg_seq", "geom"])
+
+
+# ---------------------------------------------------------------------------
+# stage 5: indoor dangling-edge fixpoint (F5)
+# ---------------------------------------------------------------------------
+
+def drop_dangling_indoor(corrected: DataFrame) -> DataFrame:
+    """osm_delete_dangling_edges.sql: iteratively drop indoor edges with <2
+    well-connected endpoints.
+
+    Indoor edges are a vanishing fraction (14,181 points at Austria scale,
+    osm_network.sql.j2:277), so the fixpoint runs on the driver over the
+    collected indoor subgraph; the deletions are pushed back as one filter.
+    """
+    indoor_edges = corrected.filter(
+        F.element_at(F.col("tags"), "indoor") == "yes"
+    ).select("osm_id", "seg_seq", "geom")
+    n_indoor = indoor_edges.count()
+    if n_indoor == 0:
+        return corrected
+
+    # endpoints of ALL edges whose point lies on some indoor edge: restrict
+    # the candidate edge set via cell join against indoor geometries.
+    all_pts = corrected.select(
+        "osm_id", "seg_seq", spatial.endpoints_udf()(F.col("geom")).alias("e")
+    ).select(
+        "osm_id", "seg_seq",
+        F.explode(
+            F.array(
+                F.struct(F.col("e.x0").alias("x"), F.col("e.y0").alias("y")),
+                F.struct(F.col("e.x1").alias("x"), F.col("e.y1").alias("y")),
+            )
+        ).alias("p"),
+    ).select("osm_id", "seg_seq", "p.x", "p.y")
+
+    ind = [
+        (r["osm_id"], r["seg_seq"], wkb.decode(bytes(r["geom"]))[1])
+        for r in indoor_edges.collect()
+    ]
+    # candidate points: within any indoor edge bbox (+eps) — tiny set
+    bxs = np.array([[c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()] for *_, c in ind])
+    minx, miny = float(bxs[:, 0].min()) - 1e-6, float(bxs[:, 1].min()) - 1e-6
+    maxx, maxy = float(bxs[:, 2].max()) + 1e-6, float(bxs[:, 3].max()) + 1e-6
+    pts = all_pts.filter(
+        (F.col("x") >= minx) & (F.col("x") <= maxx)
+        & (F.col("y") >= miny) & (F.col("y") <= maxy)
+    ).collect()
+
+    # indoor_points: endpoint rows intersecting an indoor edge
+    indoor_pts = []  # (point_key, owner_link)
+    for r in pts:
+        p = np.array([r["x"], r["y"]])
+        for osm_id, seg_seq, coords in ind:
+            if ops.point_line_dist(p, coords) <= _EPS_PT:
+                indoor_pts.append(
+                    {"key": (round(r["x"], 7), round(r["y"], 7)),
+                     "link": (r["osm_id"], r["seg_seq"])}
+                )
+                break
+
+    indoor_links = {(o, s): c for o, s, c in ind}
+    deleted: set[tuple] = set()
+    pts_alive = list(indoor_pts)
+    while True:
+        from collections import Counter
+
+        cnt = Counter(p["key"] for p in pts_alive)
+        dangling = []
+        for link, coords in indoor_links.items():
+            if link in deleted:
+                continue
+            good = {
+                p["key"]
+                for p in pts_alive
+                if cnt[p["key"]] > 1
+                and ops.point_line_dist(np.array(p["key"]), coords) <= 1e-6
+            }
+            if len(good) < 2:
+                dangling.append(link)
+        if not dangling:
+            break
+        deleted.update(dangling)
+        pts_alive = [p for p in pts_alive if p["link"] not in deleted]
+
+    if not deleted:
+        return corrected
+    del_df = corrected.sparkSession.createDataFrame(
+        [(o, s) for o, s in deleted], "osm_id long, seg_seq int"
+    )
+    return corrected.join(del_df, ["osm_id", "seg_seq"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# stage 6: ids, nodes, edges (osm_network.sql.j2:308-364) — W3/W4, J3
+# ---------------------------------------------------------------------------
+
+def finalize_network(
+    corrected: DataFrame, scalable_ids: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """edge_id/node_id assignment + from/to node joins + length."""
+    assign = (
+        (lambda df, oc, ic: ids_op.assign_ids(df, oc, ic))
+        if scalable_ids
+        else (lambda df, oc, ic: ids_op.row_number_small(df, oc, ic))
+    )
+    edges = assign(corrected, ["osm_id", "seg_seq"], "edge_id")
+
+    ends = spatial.endpoints_udf()(F.col("geom"))
+    edges = edges.withColumn("__e", ends).select(
+        "*",
+        F.round(F.col("__e.x0"), NODE_DECIMALS).alias("fx"),
+        F.round(F.col("__e.y0"), NODE_DECIMALS).alias("fy"),
+        F.round(F.col("__e.x1"), NODE_DECIMALS).alias("tx"),
+        F.round(F.col("__e.y1"), NODE_DECIMALS).alias("ty"),
+    ).drop("__e")
+
+    nodes = (
+        edges.select(F.col("fx").alias("x"), F.col("fy").alias("y"))
+        .unionByName(edges.select(F.col("tx").alias("x"), F.col("ty").alias("y")))
+        .distinct()
+    )
+    nodes = assign(nodes, ["x", "y"], "node_id")
+
+    from_n = nodes.select(
+        F.col("node_id").alias("from_node"), F.col("x").alias("fx"), F.col("y").alias("fy")
+    )
+    to_n = nodes.select(
+        F.col("node_id").alias("to_node"), F.col("x").alias("tx"), F.col("y").alias("ty")
+    )
+    edges = (
+        edges.join(from_n, ["fx", "fy"])
+        .join(to_n, ["tx", "ty"])
+        .withColumn("length", spatial.geom_length_udf()(F.col("geom")))
+        .drop("fx", "fy", "tx", "ty")
+    )
+    return edges, nodes
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+def build_network(
+    osm_line: DataFrame,
+    include_rail: bool = False,
+    include_aerialway: bool = False,
+    cell_size: float = 200.0,
+    scalable_ids: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Full network stage; returns (network_edge, network_node)."""
+    init = network_init(osm_line, include_rail, include_aerialway)
+    lp = link_points(init)
+    inter = apply_correction_deletes(dedup_intersections(intersections(lp, cell_size)))
+    targets = split_targets(inter)
+    corrected = split_edges(init, targets)
+    corrected = drop_dangling_indoor(corrected)
+    return finalize_network(corrected, scalable_ids)

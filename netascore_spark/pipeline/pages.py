@@ -1,0 +1,203 @@
+"""Web-scale pages graft (north rule / BASELINE.json input_hint).
+
+Input: an Iceberg/Parquet table ``pages(url, warc_ts, html, text, lang)`` at
+Common-Crawl scale.  Stages:
+
+1. ``extract_text``   — byte-identical HTML -> text extraction, Arrow-
+   vectorized (no per-row Python): the per-row invariant of the north rule.
+2. ``parse_geo``      — geocoordinate parsing from the page (vectorized
+   regex over the decoded HTML).
+3. ``encode_cells``   — batched cell encoding (H3-res-9-analog planar grid,
+   netascore_spark.grid).
+4. ``join_polygons``  — point-in-polygon against land-use/admin polygons
+   (cell equi-join + exact PIP refine; polygons broadcast).
+5. ``nearest_edges``  — cell-ring kNN to the nearest road segment(s):
+   expand the page's cell by rings covering the search radius, equi-join to
+   edge cells, exact distance refine, rank per page.
+6. ``page_edge_attributes`` — aggregate page-derived mass onto edges.
+
+Skew: ~30% of pages land in a handful of hot urban cells.  The kNN join
+pre-salts hot cells (operators.spatial.salt_cells) and AQE skew-join splits
+the rest at runtime.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from netascore_spark import grid
+from netascore_spark.geometry import ops, wkb
+from netascore_spark.operators import spatial
+
+# The fixture/Common-Crawl-style extraction target: the <main id="content">
+# element.  Vectorized regex via pandas .str — one Arrow batch at a time.
+_TEXT_PATTERN = r'<main id="content">(.*?)</main>'
+_GEO_PATTERN = r'<meta name="geo\.position" content="(-?[0-9.]+);(-?[0-9.]+)">'
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """HTML bytes -> extracted text. MUST be byte-identical per url."""
+    decoded = pd.Series(
+        [None if h is None else bytes(h).decode("utf-8", errors="strict") for h in html]
+    )
+    return decoded.str.extract(_TEXT_PATTERN, expand=False)
+
+
+@F.pandas_udf(
+    T.StructType(
+        [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+    )
+)
+def parse_geo_udf(html: pd.Series) -> pd.DataFrame:
+    """Geo meta tag -> planar (x, y); NULLs when absent (must not join)."""
+    decoded = pd.Series(
+        [None if h is None else bytes(h).decode("utf-8", errors="ignore") for h in html]
+    )
+    m = decoded.str.extract(_GEO_PATTERN)
+    return pd.DataFrame(
+        {"x": pd.to_numeric(m[1], errors="coerce"), "y": pd.to_numeric(m[0], errors="coerce")}
+    )
+
+
+def extract_pages(pages: DataFrame, cell_size: float = grid.DEFAULT_CELL_SIZE) -> DataFrame:
+    """pages -> url, warc_ts, lang, extracted_text, x, y, cell."""
+    out = (
+        pages.withColumn("extracted_text", extract_text_udf(F.col("html")))
+        .withColumn("__geo", parse_geo_udf(F.col("html")))
+        .select(
+            "url", "warc_ts", "lang", "text", "extracted_text",
+            F.col("__geo.x").alias("x"), F.col("__geo.y").alias("y"),
+        )
+        .withColumn(
+            "cell",
+            F.when(
+                F.col("x").isNotNull(),
+                spatial.point_cell_udf(cell_size)(F.col("x"), F.col("y")),
+            ),
+        )
+    )
+    return out
+
+
+def verify_extraction(pages_extracted: DataFrame) -> int:
+    """Count of pages whose extracted text is NOT byte-identical to `text`
+    (north-rule invariant; must be 0)."""
+    return pages_extracted.filter(
+        ~F.col("extracted_text").eqNullSafe(F.col("text"))
+    ).count()
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon join (pages x admin/landuse polygons)
+# ---------------------------------------------------------------------------
+
+def join_polygons(
+    pages_geo: DataFrame,
+    polygons: DataFrame,
+    cell_size: float = grid.DEFAULT_CELL_SIZE,
+) -> DataFrame:
+    """All (url, polygon_id, kind) containments.  Polygons broadcast (the
+    admin/landuse layer is tiny next to 10^12 pages)."""
+    pg = pages_geo.filter(F.col("cell").isNotNull()).select("url", "x", "y", "cell")
+    poly_cells = spatial.with_cells(
+        polygons.select("polygon_id", "kind", "geom"), "geom", cell_size
+    )
+    cand = pg.join(F.broadcast(poly_cells), "cell").dropDuplicates(["url", "polygon_id"])
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(x: pd.Series, y: pd.Series, geom: pd.Series) -> pd.Series:
+        out = np.zeros(len(x), dtype=bool)
+        cache: dict[bytes, list] = {}
+        for i, (px, py, g) in enumerate(zip(x, y, geom)):
+            gb = bytes(g)
+            rings = cache.get(gb)
+            if rings is None:
+                rings = wkb.decode(gb)[1]
+                cache[gb] = rings
+            out[i] = ops.point_in_polygon(np.array([px, py]), rings)
+        return pd.Series(out)
+
+    return cand.filter(pip(F.col("x"), F.col("y"), F.col("geom"))).select(
+        "url", "polygon_id", "kind"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cell-ring kNN to nearest road segment
+# ---------------------------------------------------------------------------
+
+def nearest_edges(
+    pages_geo: DataFrame,
+    edges: DataFrame,
+    k: int = 1,
+    radius: float = 500.0,
+    cell_size: float = grid.DEFAULT_CELL_SIZE,
+    salt_threshold: int | None = None,
+) -> DataFrame:
+    """(url, edge_id, dist, rank<=k) for edges within ``radius``.
+
+    Pages explode to the cell disk covering ``radius`` (cell-ring
+    expansion); edges explode to their line cover.  Hot cells optionally
+    pre-salted.
+    """
+    pg = pages_geo.filter(F.col("x").isNotNull()).select("url", "x", "y")
+    k_ring = grid.k_for_radius(radius, cell_size)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def page_disk(x: pd.Series, y: pd.Series) -> pd.Series:
+        cells = grid.cell(x.to_numpy(), y.to_numpy(), cell_size)
+        return pd.Series([grid.grid_disk(int(c), k_ring).tolist() for c in cells])
+
+    pg = pg.withColumn("cell", F.explode(page_disk(F.col("x"), F.col("y"))))
+    ec = spatial.with_cells(edges.select("edge_id", "geom"), "geom", cell_size)
+
+    if salt_threshold:
+        hot = spatial.hot_cells(pg, "cell", salt_threshold)
+        pg, ec = spatial.salt_cells(pg, ec, hot)
+        join_key = "cell_salt"
+    else:
+        join_key = "cell"
+
+    cand = pg.join(ec, join_key).dropDuplicates(["url", "edge_id"])
+
+    @F.pandas_udf(T.DoubleType())
+    def dist(x: pd.Series, y: pd.Series, geom: pd.Series) -> pd.Series:
+        out = np.empty(len(x))
+        for i, (px, py, g) in enumerate(zip(x, y, geom)):
+            out[i] = ops.point_line_dist(np.array([px, py]), wkb.decode(bytes(g))[1])
+        return pd.Series(out)
+
+    scored = cand.withColumn("dist", dist(F.col("x"), F.col("y"), F.col("geom"))).filter(
+        F.col("dist") <= radius
+    )
+    w = Window.partitionBy("url").orderBy(F.col("dist").asc(), F.col("edge_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("url", "edge_id", F.round(F.col("dist"), 6).alias("dist"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# page-derived edge attributes
+# ---------------------------------------------------------------------------
+
+def page_edge_attributes(page_edges: DataFrame, pages_geo: DataFrame) -> DataFrame:
+    """Aggregate page mass per edge: count + language histogram (the grafted
+    'attribute mass' the north star attaches to segments)."""
+    joined = page_edges.filter(F.col("rank") == 1).join(
+        pages_geo.select("url", "lang"), "url"
+    )
+    return joined.groupBy("edge_id").agg(
+        F.count("*").alias("page_count"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pages_en"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("pages_de"),
+        F.sum(F.when(F.col("lang") == "fr", 1).otherwise(0)).alias("pages_fr"),
+        F.round(F.avg("dist"), 2).alias("avg_page_dist"),
+    )

@@ -1,0 +1,122 @@
+"""Network construction stage tests (osm_network.sql.j2 semantics)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from netascore_spark.geometry import wkb
+from netascore_spark.pipeline import network as N
+from netascore_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def net(spark):
+    osm = fixtures.osm_lines(spark, scale=1)
+    edges, nodes = N.build_network(osm)
+    edges.persist()
+    nodes.persist()
+    return osm, edges, nodes
+
+
+def test_p1_filter_drops_negative_and_nonhighway(spark, net):
+    osm, edges, nodes = net
+    assert edges.filter(F.col("osm_id") < 0).count() == 0
+    kept_ids = {r["osm_id"] for r in edges.select("osm_id").distinct().collect()}
+    bad = {
+        r["osm_id"]
+        for r in osm.filter(F.col("highway").isNull() & F.col("route").isNull()).collect()
+    }
+    assert not (kept_ids & bad)
+
+
+def test_grid_ways_split_at_crossings(spark, net):
+    osm, edges, nodes = net
+    # 8x8 grid: each interior way crosses 8 perpendicular ways -> split into
+    # 7 interior pieces + 0 (ways start/end ON the boundary ways, endpoints
+    # don't split). H0 (osm_id=100, y=0) crosses V1..V6 interior => pieces.
+    h0 = edges.filter(F.col("name") == "H0")
+    assert h0.count() >= 7
+    # total length preserved per osm_id
+    osm_len = {
+        r["osm_id"]: sum(
+            float(np.hypot(*(np.diff(wkb.decode(bytes(r["way"]))[1], axis=0).T)))
+            for _ in [0]
+        )
+        for r in osm.filter(F.col("name") == "H0").collect()
+    }
+    got = h0.agg(F.sum("length")).collect()[0][0]
+    assert got == pytest.approx(list(osm_len.values())[0], rel=1e-9)
+
+
+def test_bridge_does_not_split(spark, net):
+    _, edges, _ = net
+    bridge = edges.filter(F.col("name") == "bridge-way")
+    assert bridge.count() == 1  # crossed the grid but never split
+
+
+def test_layered_overpass_does_not_split(spark, net):
+    _, edges, _ = net
+    over = edges.filter(F.col("name") == "overpass")
+    assert over.count() == 1
+
+
+def test_tunnel_does_not_split(spark, net):
+    _, edges, _ = net
+    tun = edges.filter(F.col("name") == "tunnel-way")
+    assert tun.count() == 1
+
+
+def test_grid_ways_not_split_by_bridge(spark, net):
+    _, edges, _ = net
+    # H1 at y=100: crossed by V1..V6 (6 interior crossings -> 7 pieces).
+    # The bridge at y=150 and overpass/tunnel do NOT add splits to it.
+    # V2 (x=200): crossed by H1..H6 -> 7 pieces; bridge at y=150 must not
+    # add an 8th split.
+    v2 = edges.filter(F.col("name") == "V2")
+    assert v2.count() == 7
+
+
+def test_dangling_indoor_removed(spark, net):
+    _, edges, _ = net
+    names = {r["name"] for r in edges.select("name").distinct().collect()}
+    assert "indoor-dangling" not in names
+    # note: indoor-a/indoor-b chain also collapses (fixpoint) since after
+    # removing the dangling edge their shared points drop below 2 owners.
+
+
+def test_edge_ids_dense_and_deterministic(spark, net):
+    _, edges, _ = net
+    ids = [r["edge_id"] for r in edges.select("edge_id").orderBy("edge_id").collect()]
+    assert ids == list(range(1, len(ids) + 1))
+    # deterministic: rebuilding gives identical id->osm_id mapping
+    osm = fixtures.osm_lines(spark, scale=1)
+    edges2, _ = N.build_network(osm)
+    m1 = {(r["edge_id"]): (r["osm_id"], r["seg_seq"]) for r in edges.collect()}
+    m2 = {(r["edge_id"]): (r["osm_id"], r["seg_seq"]) for r in edges2.collect()}
+    assert m1 == m2
+
+
+def test_node_identity(spark, net):
+    _, edges, nodes = net
+    # from/to node ids resolve, every edge has both
+    assert edges.filter(F.col("from_node").isNull() | F.col("to_node").isNull()).count() == 0
+    # shared junction: pieces meeting at a grid crossing share a node id
+    n_nodes = nodes.count()
+    assert n_nodes > 0
+    # degree >= 1 for every node
+    deg = (
+        edges.select(F.col("from_node").alias("n"))
+        .unionByName(edges.select(F.col("to_node").alias("n")))
+        .groupBy("n").count()
+    )
+    assert deg.filter(F.col("count") < 1).count() == 0
+    # grid interior crossings have degree 4
+    deg4 = deg.filter(F.col("count") >= 4).count()
+    assert deg4 >= 36  # 6x6 interior crossings of the 8x8 grid
+
+
+def test_length_column(spark, net):
+    _, edges, _ = net
+    bad = edges.filter((F.col("length") <= 0) | F.col("length").isNull()).count()
+    assert bad == 0

@@ -1,0 +1,94 @@
+"""Web-scale pages graft tests: byte-identical extraction, geoparse, tiling,
+point-in-polygon and cell-ring kNN joins (north-rule invariants)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from netascore_spark.pipeline import network as N
+from netascore_spark.pipeline import pages as P
+from netascore_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def pages_extracted(spark):
+    pg = fixtures.pages(spark, n=500)
+    out = P.extract_pages(pg)
+    out.persist().count()
+    return out
+
+
+def test_extraction_byte_identical(spark, pages_extracted):
+    # THE invariant: extracted text == original text for every url
+    assert P.verify_extraction(pages_extracted) == 0
+
+
+def test_geoparse_nulls(spark, pages_extracted):
+    n = pages_extracted.count()
+    no_geo = pages_extracted.filter(F.col("x").isNull()).count()
+    assert n == 500
+    assert no_geo == 50  # i % 10 == 7 -> exactly 10%
+    # cells assigned iff coordinates parsed
+    assert pages_extracted.filter(
+        F.col("x").isNotNull() & F.col("cell").isNull()
+    ).count() == 0
+
+
+def test_skewed_hot_cells(spark, pages_extracted):
+    counts = (
+        pages_extracted.filter(F.col("cell").isNotNull())
+        .groupBy("cell").count().orderBy(F.col("count").desc()).collect()
+    )
+    total = sum(r["count"] for r in counts)
+    top3 = sum(r["count"] for r in counts[:3])
+    assert top3 / total > 0.10  # hot cells exist
+
+
+def test_point_in_polygon_join(spark, pages_extracted):
+    polys = fixtures.admin_polygons(spark)
+    hits = P.join_polygons(pages_extracted, polys)
+    hits.persist()
+    assert hits.count() > 0
+    # no page without coordinates may join
+    no_geo_urls = pages_extracted.filter(F.col("x").isNull()).select("url")
+    assert hits.join(no_geo_urls, "url", "left_semi").count() == 0
+    # overlapping landuse polygon produces multiple rows for pages inside it
+    multi = hits.groupBy("url").count().filter(F.col("count") > 1).count()
+    assert multi > 0
+
+
+def test_nearest_edge_knn(spark, pages_extracted):
+    osm = fixtures.osm_lines(spark, scale=1)
+    edges, _ = N.build_network(osm)
+    nn = P.nearest_edges(pages_extracted, edges, k=3, radius=500.0)
+    nn.persist()
+    assert nn.count() > 0
+    # ranks are 1..3 per url, distances ascending
+    import collections
+
+    per_url = collections.defaultdict(list)
+    for r in nn.collect():
+        per_url[r["url"]].append((r["rank"], r["dist"]))
+    for url, rows in per_url.items():
+        rows.sort()
+        dists = [d for _, d in rows]
+        assert dists == sorted(dists)
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+    # deterministic under salting too
+    nn_salted = P.nearest_edges(
+        pages_extracted, edges, k=3, radius=500.0, salt_threshold=50
+    )
+    a = {(r["url"], r["rank"]): r["edge_id"] for r in nn.collect()}
+    b = {(r["url"], r["rank"]): r["edge_id"] for r in nn_salted.collect()}
+    assert a == b
+
+
+def test_page_edge_attributes(spark, pages_extracted):
+    osm = fixtures.osm_lines(spark, scale=1)
+    edges, _ = N.build_network(osm)
+    nn = P.nearest_edges(pages_extracted, edges, k=1, radius=500.0)
+    agg = P.page_edge_attributes(nn, pages_extracted)
+    rows = agg.collect()
+    assert len(rows) > 0
+    total = sum(r["page_count"] for r in rows)
+    assert total == nn.filter(F.col("rank") == 1).count()

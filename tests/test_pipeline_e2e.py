@@ -1,0 +1,59 @@
+"""Full-pipeline orchestration: checkpoints, resume, export, audit."""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from netascore_spark.pipeline.checkpoint import Checkpointer
+from netascore_spark.pipeline.export import null_column_audit, run_pipeline
+from netascore_spark.plans.profile import Profile
+from netascore_spark.sources import fixtures
+
+
+def test_run_pipeline_with_checkpoints(spark, tmp_path):
+    osm = fixtures.osm_lines(spark, scale=1)
+    layers = {
+        "facility": fixtures.layer_points(spark, "facility"),
+        "building": fixtures.layer_polygons(spark, "building"),
+        "dem": fixtures.dem_grid(spark),
+    }
+    profiles = [Profile.from_yaml("profiles/profile_bike.yml", "bike")]
+    ckdir = str(tmp_path / "snapshots")
+    out = run_pipeline(spark, osm, layers, profiles, checkpoint_dir=ckdir)
+
+    n_edges = out["export_edge"].count()
+    assert n_edges > 0
+    assert out["export_node"].count() > 0
+    assert "index_bike_ft" in out["network_edge_index"].columns
+
+    # lineage sidecars written with per-partition rows
+    ck = Checkpointer(spark, ckdir)
+    meta = ck.lineage("network_edge")
+    assert meta["rows"] == n_edges
+    assert sum(meta["partition_rows"]) == meta["rows"]
+    assert meta["upstream"] == ["osm_line"]
+
+    # resume: second run must reuse snapshots (write time unchanged)
+    t0 = os.path.getmtime(os.path.join(ckdir, "network_edge", "_SUCCESS"))
+    out2 = run_pipeline(spark, osm, layers, profiles, checkpoint_dir=ckdir)
+    t1 = os.path.getmtime(os.path.join(ckdir, "network_edge", "_SUCCESS"))
+    assert t0 == t1  # skipped, not recomputed
+    assert out2["export_edge"].count() == n_edges
+
+
+def test_checkpoint_abort_mode(spark, tmp_path):
+    ck = Checkpointer(spark, str(tmp_path), on_existing="abort")
+    df = spark.range(5)
+    ck.materialize(df, "t")
+    with pytest.raises(RuntimeError, match="abort"):
+        ck.materialize(df, "t")
+
+
+def test_null_column_audit(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, None)], "id long, dead string, half string"
+    )
+    assert null_column_audit(df) == ["dead"]
