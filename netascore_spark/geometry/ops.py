@@ -574,6 +574,51 @@ def line_intersects_polygon(coords: np.ndarray, rings: list[np.ndarray]) -> bool
 
 
 # ---------------------------------------------------------------------------
+# offset curve / line substring (GIP linkuse assembly, J14)
+# ---------------------------------------------------------------------------
+
+def offset_curve(coords: np.ndarray, r: float, quad_segs: int = 8) -> np.ndarray:
+    """ST_OffsetCurve: positive r offsets left of travel, negative right."""
+    if r == 0:
+        return coords.copy()
+    if r > 0:
+        return _offset_side(coords, r, quad_segs)
+    # right side: offset the reversed line left, then reverse back
+    return _offset_side(coords[::-1], -r, quad_segs)[::-1]
+
+
+def line_substring(coords: np.ndarray, start_frac: float, end_frac: float) -> np.ndarray:
+    """ST_LineSubstring: the part between fractional arc-length positions."""
+    total = length(coords)
+    s0, s1 = start_frac * total, end_frac * total
+    out = []
+    acc = 0.0
+    for i in range(len(coords) - 1):
+        a, b = coords[i], coords[i + 1]
+        seg_len = float(np.hypot(*(b - a)))
+        if seg_len <= EPS:
+            continue
+        lo, hi = acc, acc + seg_len
+        if hi < s0 or lo > s1:
+            acc = hi
+            continue
+        t0 = max(0.0, (s0 - lo) / seg_len)
+        t1 = min(1.0, (s1 - lo) / seg_len)
+        p0 = a + t0 * (b - a)
+        p1 = a + t1 * (b - a)
+        if not out:
+            out.append(p0)
+        if np.hypot(*(p1 - out[-1])) > EPS:
+            out.append(p1)
+        acc = hi
+    if len(out) < 2:
+        # degenerate: return a zero-length stub at the located point
+        p = out[0] if out else coords[0]
+        out = [p, p]
+    return np.array(out)
+
+
+# ---------------------------------------------------------------------------
 # dwithin
 # ---------------------------------------------------------------------------
 

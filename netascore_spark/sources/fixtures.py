@@ -193,6 +193,56 @@ def osm_lines(spark: SparkSession, scale: int = 1) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# osm_point / osm_polygon sources (for the S7 derived-layer builders)
+# ---------------------------------------------------------------------------
+
+_OSM_PT_POLY_COLS = [
+    "osm_id", "way", "highway", "amenity", "tourism", "building", "landuse",
+    "leisure", "natural", "waterway", "tunnel",
+]
+_OSM_PT_POLY_SCHEMA = T.StructType(
+    [T.StructField("osm_id", T.LongType()), T.StructField("way", T.BinaryType())]
+    + [T.StructField(c, T.StringType(), True) for c in _OSM_PT_POLY_COLS[2:]]
+)
+
+
+def _pp_row(osm_id, geom, **kv):
+    base = {c: None for c in _OSM_PT_POLY_COLS}
+    base["osm_id"] = osm_id
+    base["way"] = wkb.encode(geom)
+    base.update(kv)
+    return tuple(base[c] for c in _OSM_PT_POLY_COLS)
+
+
+def osm_points(spark: SparkSession) -> DataFrame:
+    rows = [
+        _pp_row(1, wkb.point(50, 5), amenity="cafe"),
+        _pp_row(2, wkb.point(250, 25), amenity="supermarket"),
+        _pp_row(3, wkb.point(450, 35), tourism="museum"),
+        _pp_row(4, wkb.point(120, 3), highway="crossing"),
+        _pp_row(5, wkb.point(320, 7), highway="crossing"),
+        _pp_row(6, wkb.point(600, 600), amenity="parking"),  # not a facility
+    ]
+    return spark.createDataFrame(rows, _OSM_PT_POLY_SCHEMA)
+
+
+def osm_polygons(spark: SparkSession) -> DataFrame:
+    def rect(x0, y0, x1, y1):
+        return wkb.polygon([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+
+    rows = [
+        _pp_row(11, rect(10, 5, 60, 15), building="yes"),
+        _pp_row(12, rect(100, 30, 160, 45), building="apartments"),
+        _pp_row(13, rect(0, -25, 200, -5), landuse="grass"),
+        _pp_row(14, rect(500, 480, 700, 620), leisure="park"),
+        _pp_row(15, rect(5500, -200, 5800, 100), natural="water"),
+        _pp_row(16, rect(300, 300, 360, 380), amenity="university"),
+        _pp_row(17, rect(800, 800, 860, 860), landuse="industrial"),  # none
+    ]
+    return spark.createDataFrame(rows, _OSM_PT_POLY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # point / polygon layers (import_step.py:432-532 derived layers)
 # ---------------------------------------------------------------------------
 
