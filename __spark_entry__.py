@@ -769,9 +769,10 @@ def _fixture_network(spark):
     if key not in _FIXTURE_CACHE:
         osm = fixtures.osm_lines(spark, scale=1)
         edges, nodes = build_network(osm)
-        edges = edges.persist()
-        nodes = nodes.persist()
-        edges.count()
+        # localCheckpoint: materialize AND truncate lineage so downstream
+        # attribute plans stay shallow
+        edges = edges.localCheckpoint()
+        nodes = nodes.localCheckpoint()
         _FIXTURE_CACHE.clear()
         _FIXTURE_CACHE[key] = (osm, (edges, nodes))
     return _FIXTURE_CACHE[key]

@@ -51,11 +51,21 @@ def main() -> None:
 
     # --- network + attributes + scoring (edges/sec) -----------------------
     osm = fixtures.osm_lines(spark, scale=osm_scale)
-    t_net0 = time.time()
-    edges, nodes = N.build_network(osm)
-    edges = edges.persist()
-    n_edges = timed("network_build", lambda: edges.count())
-    n_edges = edges.count()
+
+    def build_net():
+        e, n = N.build_network(osm)
+        # localCheckpoint truncates lineage: downstream plan analysis stays
+        # O(attribute plan), not O(whole network build plan)
+        return e.localCheckpoint(), n.localCheckpoint()
+
+    edges = nodes = None
+
+    def _run():
+        nonlocal edges, nodes
+        edges, nodes = build_net()
+        return edges.count()
+
+    n_edges = timed("network_build", _run)
 
     layers = {
         "facility": fixtures.layer_points(spark, "facility"),
@@ -71,6 +81,7 @@ def main() -> None:
 
     def run_attrs():
         attrs, _ = ATTR.build_attributes(edges, nodes, osm, layers)
+        attrs = attrs.localCheckpoint()
         scored = attach_index(attach_index(attrs, bike), walk)
         return scored.count()
 

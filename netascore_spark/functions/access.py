@@ -251,11 +251,14 @@ def with_access_columns(edges: DataFrame) -> DataFrame:
     bike = bicycle_norm_columns()
     ped = pedestrian_norm_columns()
     ped_access = calculate_access_pedestrian(ped).cast("boolean")
-    return (
-        edges.withColumn("access_car_ft", calculate_access_car("ft", car).cast("boolean"))
-        .withColumn("access_car_tf", calculate_access_car("tf", car).cast("boolean"))
-        .withColumn("access_bicycle_ft", calculate_access_bicycle("ft", bike).cast("boolean"))
-        .withColumn("access_bicycle_tf", calculate_access_bicycle("tf", bike).cast("boolean"))
-        .withColumn("access_pedestrian_ft", ped_access)
-        .withColumn("access_pedestrian_tf", ped_access)
+    # single withColumns call: one analyzer pass instead of six
+    return edges.withColumns(
+        {
+            "access_car_ft": calculate_access_car("ft", car).cast("boolean"),
+            "access_car_tf": calculate_access_car("tf", car).cast("boolean"),
+            "access_bicycle_ft": calculate_access_bicycle("ft", bike).cast("boolean"),
+            "access_bicycle_tf": calculate_access_bicycle("tf", bike).cast("boolean"),
+            "access_pedestrian_ft": ped_access,
+            "access_pedestrian_tf": ped_access,
+        }
     )

@@ -76,6 +76,20 @@ def point_on_line(p: np.ndarray, coords: np.ndarray, eps: float = EPS) -> bool:
     return point_line_dist(p, coords) <= eps
 
 
+def points_line_dist(points: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """Distances of N points to one linestring, fully vectorized
+    (N x segments broadcast) — the kNN hot path."""
+    a = coords[:-1]                       # (S, 2)
+    ab = coords[1:] - a                   # (S, 2)
+    denom = (ab * ab).sum(axis=1)         # (S,)
+    denom = np.where(denom <= EPS * EPS, 1.0, denom)
+    ap = points[:, None, :] - a[None, :, :]            # (N, S, 2)
+    t = np.clip((ap * ab[None, :, :]).sum(axis=2) / denom[None, :], 0.0, 1.0)
+    proj = a[None, :, :] + t[:, :, None] * ab[None, :, :]
+    d = points[:, None, :] - proj
+    return np.sqrt((d * d).sum(axis=2)).min(axis=1)
+
+
 # ---------------------------------------------------------------------------
 # segment-segment intersection
 # ---------------------------------------------------------------------------

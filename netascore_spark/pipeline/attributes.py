@@ -33,31 +33,34 @@ DEM_CELL = 10.0  # fixture DEM grid resolution (meters)
 def base_attributes(edges: DataFrame) -> DataFrame:
     e = ACC.with_access_columns(edges)
     ms = A.max_speed_clamped(A.max_speed_raw())
-    e = (
-        e.withColumn("bridge_flag", A.bridge_flag())
-        .withColumn("tunnel_flag", A.tunnel_flag())
-        .withColumn("stairs", A.stairs_flag())
-        .withColumn("bicycle_infrastructure_ft", A.bicycle_infrastructure())
-        .withColumn("bicycle_infrastructure_tf", F.col("bicycle_infrastructure_ft"))
-        .withColumn(
-            "pedestrian_infrastructure_ft",
-            A.pedestrian_infrastructure(F.col("access_pedestrian_ft")),
-        )
-        .withColumn(
-            "pedestrian_infrastructure_tf", F.col("pedestrian_infrastructure_ft")
-        )
-        .withColumn("road_category", A.road_category())
-        .withColumn("max_speed_ft", ms)
-        .withColumn("max_speed_tf", ms)
-        .withColumn("max_speed_greatest", ms)
-        .withColumn("parking_ft", F.lit(None).cast("string"))  # never computed (attributes.md:84)
-        .withColumn("parking_tf", F.lit(None).cast("string"))
-        .withColumn("pavement", A.pavement())
-        .withColumn("width_parsed", A.width())
-        .withColumn("number_lanes_ft", A.number_lanes_ft())
-        .withColumn("number_lanes_tf", A.number_lanes_tf())
+    bi = A.bicycle_infrastructure()
+    pi = A.pedestrian_infrastructure(
+        ACC.calculate_access_pedestrian(ACC.pedestrian_norm_columns()).cast("boolean")
     )
-    return e
+    # single withColumns: one analyzer pass (withColumn chains re-analyze the
+    # whole plan per call — measurably slow with deep lineage)
+    return e.withColumns(
+        {
+            "bridge_flag": A.bridge_flag(),
+            "tunnel_flag": A.tunnel_flag(),
+            "stairs": A.stairs_flag(),
+            "bicycle_infrastructure_ft": bi,
+            "bicycle_infrastructure_tf": bi,
+            "pedestrian_infrastructure_ft": pi,
+            "pedestrian_infrastructure_tf": pi,
+            "road_category": A.road_category(),
+            "max_speed_ft": ms,
+            "max_speed_tf": ms,
+            "max_speed_greatest": ms,
+            # parking never computed, always NULL (attributes.md:84)
+            "parking_ft": F.lit(None).cast("string"),
+            "parking_tf": F.lit(None).cast("string"),
+            "pavement": A.pavement(),
+            "width_parsed": A.width(),
+            "number_lanes_ft": A.number_lanes_ft(),
+            "number_lanes_tf": A.number_lanes_tf(),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -290,31 +293,34 @@ def build_attributes(
     # designated_route (coalesce 'no', osm_attributes.sql.j2:566-567)
     if osm_line is not None:
         dr = designated_route(edges, osm_line, cell_size)
-        attrs = attrs.join(dr, "edge_id", "left")
-        attrs = attrs.withColumn(
-            "designated_route_ft", F.coalesce(F.col("designated_route"), F.lit("no"))
-        ).withColumn(
-            "designated_route_tf", F.coalesce(F.col("designated_route"), F.lit("no"))
+        attrs = attrs.join(dr, "edge_id", "left").withColumns(
+            {
+                "designated_route_ft": F.coalesce(F.col("designated_route"), F.lit("no")),
+                "designated_route_tf": F.coalesce(F.col("designated_route"), F.lit("no")),
+            }
         ).drop("designated_route")
     else:
-        attrs = attrs.withColumn("designated_route_ft", F.lit("no")).withColumn(
-            "designated_route_tf", F.lit("no")
+        attrs = attrs.withColumns(
+            {"designated_route_ft": F.lit("no"), "designated_route_tf": F.lit("no")}
         )
 
     # elevation / gradient
     if "dem" in layers:
         node_attrs = node_elevation(nodes, layers["dem"])
         grad = gradient(edges, node_attrs, attrs)
-        attrs = attrs.join(grad, "edge_id", "left")
-        attrs = attrs.withColumn(
-            "gradient_ft", F.col("gradient_class").cast("double")
-        ).withColumn(
-            "gradient_tf", (-F.col("gradient_class")).cast("double")
+        attrs = attrs.join(grad, "edge_id", "left").withColumns(
+            {
+                "gradient_ft": F.col("gradient_class").cast("double"),
+                "gradient_tf": (-F.col("gradient_class")).cast("double"),
+            }
         ).drop("gradient_class")
     else:
         node_attrs = nodes.select("node_id", F.lit(None).cast("double").alias("elevation"))
-        attrs = attrs.withColumn("gradient_ft", F.lit(None).cast("double")).withColumn(
-            "gradient_tf", F.lit(None).cast("double")
+        attrs = attrs.withColumns(
+            {
+                "gradient_ft": F.lit(None).cast("double"),
+                "gradient_tf": F.lit(None).cast("double"),
+            }
         )
 
     # facilities / crossings (coalesce 0)

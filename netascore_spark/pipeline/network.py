@@ -418,6 +418,8 @@ def build_network(
     lp = link_points(init)
     inter = apply_correction_deletes(dedup_intersections(intersections(lp, cell_size)))
     targets = split_targets(inter)
-    corrected = split_edges(init, targets)
+    # persist: the indoor fixpoint and the id/node stages each launch jobs
+    # over the split result — don't recompute the O(n^2) intersection work
+    corrected = split_edges(init, targets).persist()
     corrected = drop_dangling_indoor(corrected)
     return finalize_network(corrected, scalable_ids)

@@ -146,16 +146,14 @@ def nearest_edges(
     expansion); edges explode to their line cover.  Hot cells optionally
     pre-salted.
     """
-    pg = pages_geo.filter(F.col("x").isNotNull()).select("url", "x", "y")
-    k_ring = grid.k_for_radius(radius, cell_size)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def page_disk(x: pd.Series, y: pd.Series) -> pd.Series:
-        cells = grid.cell(x.to_numpy(), y.to_numpy(), cell_size)
-        return pd.Series([grid.grid_disk(int(c), k_ring).tolist() for c in cells])
-
-    pg = pg.withColumn("cell", F.explode(page_disk(F.col("x"), F.col("y"))))
-    ec = spatial.with_cells(edges.select("edge_id", "geom"), "geom", cell_size)
+    # pad the EDGE side (the far smaller cover): each page keeps its single
+    # cell; edges explode to cells within `radius` of their linework — the
+    # same cell-ring guarantee at a fraction of the shuffled rows (pages are
+    # the 10^12 side at scale).
+    pg = pages_geo.filter(F.col("x").isNotNull()).select("url", "x", "y", "cell")
+    ec = spatial.with_cells(
+        edges.select("edge_id", "geom"), "geom", cell_size, pad=radius
+    )
 
     if salt_threshold:
         hot = spatial.hot_cells(pg, "cell", salt_threshold)
@@ -164,13 +162,23 @@ def nearest_edges(
     else:
         join_key = "cell"
 
-    cand = pg.join(ec, join_key).dropDuplicates(["url", "edge_id"])
+    # each page carries exactly ONE cell, so a (url, edge) pair meets in at
+    # most one cell — no pair-dedup shuffle needed
+    cand = pg.join(ec, join_key)
 
     @F.pandas_udf(T.DoubleType())
     def dist(x: pd.Series, y: pd.Series, geom: pd.Series) -> pd.Series:
+        # group the Arrow batch by edge geometry and compute all its page
+        # distances in one vectorized pass (numpy N x segments broadcast)
+        xs, ys = x.to_numpy(), y.to_numpy()
         out = np.empty(len(x))
-        for i, (px, py, g) in enumerate(zip(x, y, geom)):
-            out[i] = ops.point_line_dist(np.array([px, py]), wkb.decode(bytes(g))[1])
+        order: dict[bytes, list[int]] = {}
+        for i, g in enumerate(geom):
+            order.setdefault(bytes(g), []).append(i)
+        for gb, idx in order.items():
+            coords = wkb.decode(gb)[1]
+            pts = np.stack([xs[idx], ys[idx]], axis=1)
+            out[idx] = ops.points_line_dist(pts, coords)
         return pd.Series(out)
 
     scored = cand.withColumn("dist", dist(F.col("x"), F.col("y"), F.col("geom"))).filter(

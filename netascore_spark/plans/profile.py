@@ -425,7 +425,8 @@ def attach_index(
         cols[f"index_{profile.name}_{d}_robustness"] = res["index_robustness"]
         if compute_explanation:
             cols[f"index_{profile.name}_{d}_explanation"] = res["index_explanation"]
-    out = attrs
-    for name, col in cols.items():
-        out = out.withColumn(name, F.when(accessible, col))
-    return out
+    # one withColumns call — a withColumn chain re-analyzes the (large)
+    # scoring plan once per column
+    return attrs.withColumns(
+        {name: F.when(accessible, col) for name, col in cols.items()}
+    )
