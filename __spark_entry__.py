@@ -615,6 +615,93 @@ FROM s
 """
 
 
+def q_access_bicycle(spark, sf_dir):
+    """F2: the bicycle access cascade incl. contraflow-cycleway logic,
+    cross-checked against a hand-written SQL rendering of
+    osm_calculate_access_bicycle.sql:18-56."""
+    from netascore_spark.functions.access import calculate_access_bicycle
+
+    k = F.col("o_orderkey")
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(k % 7 == 0, "no").otherwise(F.lit(None)).alias("access"),
+        F.when(k % 5 == 0, "yes").when(k % 5 == 1, "no").otherwise(F.lit(None)).alias("bf"),
+        F.when(k % 3 == 0, "yes").when(k % 3 == 1, "opposite").otherwise(F.lit(None)).alias("ob"),
+        F.when(k % 11 == 0, "yes").otherwise(F.lit(None)).alias("roundabout"),
+        F.when(k % 4 == 0, "yes").when(k % 4 == 1, "opposite").when(k % 4 == 2, "no").otherwise(F.lit(None)).alias("oneway"),
+        F.when(k % 13 == 0, "yes").when(k % 13 == 1, "opposite").when(k % 13 == 2, "no").otherwise(F.lit(None)).alias("cw"),
+        F.when(k % 19 == 0, "yes").when(k % 19 == 1, "opposite").otherwise(F.lit(None)).alias("cwl"),
+        F.when(k % 17 == 0, "no").when(k % 17 == 1, "yes").otherwise(F.lit(None)).alias("bicycle"),
+        F.when(k % 2 == 0, "yes").otherwise(F.lit(None)).alias("highway"),
+    )
+    null_s = F.lit(None).cast("string")
+    cols = {
+        "access": F.col("access"),
+        "bicycle_forward": F.col("bf"),
+        "bicycle_backward": F.col("bf"),
+        "oneway_bicycle": F.col("ob"),
+        "roundabout": F.col("roundabout"),
+        "oneway": F.col("oneway"),
+        "cycleway": F.col("cw"),
+        "cycleway_right": null_s,
+        "cycleway_left": F.col("cwl"),
+        "cycleway_both": null_s,
+        "bicycle": F.col("bicycle"),
+        "highway": F.col("highway"),
+    }
+    return df.select(
+        "o_orderkey",
+        calculate_access_bicycle("ft", cols).alias("bike_ft"),
+        calculate_access_bicycle("tf", cols).alias("bike_tf"),
+    )
+
+
+_ACCESS_BICYCLE_ORACLE = """
+WITH s AS (
+    SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN 'no' END AS access,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'yes' WHEN o_orderkey % 5 = 1 THEN 'no' END AS bf,
+        CASE WHEN o_orderkey % 3 = 0 THEN 'yes' WHEN o_orderkey % 3 = 1 THEN 'opposite' END AS ob,
+        CASE WHEN o_orderkey % 11 = 0 THEN 'yes' END AS roundabout,
+        CASE WHEN o_orderkey % 4 = 0 THEN 'yes' WHEN o_orderkey % 4 = 1 THEN 'opposite'
+             WHEN o_orderkey % 4 = 2 THEN 'no' END AS oneway,
+        CASE WHEN o_orderkey % 13 = 0 THEN 'yes' WHEN o_orderkey % 13 = 1 THEN 'opposite'
+             WHEN o_orderkey % 13 = 2 THEN 'no' END AS cw,
+        CASE WHEN o_orderkey % 19 = 0 THEN 'yes' WHEN o_orderkey % 19 = 1 THEN 'opposite' END AS cwl,
+        CASE WHEN o_orderkey % 17 = 0 THEN 'no' WHEN o_orderkey % 17 = 1 THEN 'yes' END AS bicycle,
+        CASE WHEN o_orderkey % 2 = 0 THEN 'yes' END AS highway
+    FROM orders
+)
+SELECT o_orderkey,
+    CASE WHEN bf = 'no' THEN 0
+         WHEN bf = 'yes' THEN 1
+         WHEN ob = 'opposite' THEN 0
+         WHEN ob = 'yes' THEN 1
+         WHEN oneway = 'opposite'
+              AND (cw <> 'yes' OR cw IS NULL)
+              AND (cwl <> 'opposite' OR cwl IS NULL) THEN 0
+         WHEN bicycle = 'no' THEN 0
+         WHEN bicycle = 'yes' THEN 1
+         WHEN access = 'no' THEN 0
+         WHEN highway = 'no' OR highway IS NULL THEN 0
+         ELSE 1 END AS bike_ft,
+    CASE WHEN bf = 'no' THEN 0
+         WHEN bf = 'yes' THEN 1
+         WHEN ob = 'yes' THEN 0
+         WHEN ob = 'opposite' THEN 1
+         WHEN roundabout = 'yes' THEN 0
+         WHEN oneway = 'yes'
+              AND (cw <> 'opposite' OR cw IS NULL)
+              AND (cwl <> 'yes' OR cwl IS NULL) THEN 0
+         WHEN bicycle = 'no' THEN 0
+         WHEN bicycle = 'yes' THEN 1
+         WHEN access = 'no' THEN 0
+         WHEN highway = 'no' OR highway IS NULL THEN 0
+         ELSE 1 END AS bike_tf
+FROM s
+"""
+
+
 # ===========================================================================
 # training-data ops over documents / embeddings
 # ===========================================================================
@@ -916,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scoring DSL + access cascades (SQL-checked)
         "dsl_score": q_dsl_score,
         "access_car": q_access_car,
+        "access_bicycle": q_access_bicycle,
         # projection / filter / scalar
         "filter_project": q_filter_project,
         "case_vocab": q_case_vocab,
@@ -958,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dsl_score": _DSL_ORACLE,
         "access_car": _ACCESS_CAR_ORACLE,
+        "access_bicycle": _ACCESS_BICYCLE_ORACLE,
         "filter_project": _FILTER_ORACLE,
         "case_vocab": _CASE_ORACLE,
         "regex_extract": _REGEX_ORACLE,

@@ -1,0 +1,145 @@
+"""Property-based tests (SURVEY §5.2): score bounds, robustness formula,
+geometry invariants — hypothesis over the pure-Python kernel, sampled rows
+over the Spark compiler."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from netascore_spark.geometry import ops, wkb
+
+
+# --- geometry kernel properties (pure Python, fast) -------------------------
+
+coord = st.floats(min_value=-1e4, max_value=1e4, allow_nan=False)
+
+
+@given(st.lists(st.tuples(coord, coord), min_size=2, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_split_length_invariant(pts):
+    line = np.array(pts, dtype=float)
+    total = ops.length(line)
+    seg_lens = np.sqrt((np.diff(line, axis=0) ** 2).sum(axis=1))
+    if total < 1e-3 or (seg_lens < 1e-3).any():
+        return  # split eps is 1e-7 in meters; micro-segments are out of domain
+    # split at deterministic on-line points
+    cuts = []
+    for frac in (0.25, 0.5, 0.75):
+        target = frac * total
+        acc = 0.0
+        for i in range(len(line) - 1):
+            seg = float(np.hypot(*(line[i + 1] - line[i])))
+            if acc + seg >= target and seg > 0:
+                t = (target - acc) / seg
+                cuts.append(line[i] + t * (line[i + 1] - line[i]))
+                break
+            acc += seg
+    pieces = ops.split_line(line, cuts)
+    assert sum(ops.length(p) for p in pieces) == pytest.approx(total, rel=1e-9)
+
+
+@given(
+    st.lists(st.tuples(coord, coord), min_size=2, max_size=5),
+    st.lists(st.tuples(coord, coord), min_size=2, max_size=5),
+)
+@settings(max_examples=100, deadline=None)
+def test_intersection_symmetric(a_pts, b_pts):
+    a = np.array(a_pts, dtype=float)
+    b = np.array(b_pts, dtype=float)
+    pa, oa = ops.line_line_intersection(a, b)
+    pb, ob = ops.line_line_intersection(b, a)
+    assert (len(pa) > 0 or len(oa) > 0) == (len(pb) > 0 or len(ob) > 0)
+
+
+@given(
+    st.floats(min_value=-100, max_value=100),
+    st.floats(min_value=-100, max_value=100),
+    st.floats(min_value=0.5, max_value=30),
+)
+@settings(max_examples=50, deadline=None)
+def test_buffer_contains_its_line(cx, cy, r):
+    line = np.array([[cx, cy], [cx + 50, cy + 10], [cx + 80, cy - 20]])
+    ring = ops.buffer_line(line, r, cap="round", quad_segs=8)
+    for p in line:
+        assert ops.point_in_ring(p, ring)
+    # area bounded below by the single-widest rectangle and above by the
+    # bounding box of the buffer
+    assert abs(ops.ring_signed_area(ring)) >= 2 * r * max(
+        float(np.hypot(*(line[1] - line[0]))),
+        float(np.hypot(*(line[2] - line[1]))),
+    ) * 0.99
+
+
+@given(st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=50, deadline=None)
+def test_grid_cell_roundtrip(i):
+    from netascore_spark import grid
+
+    x = (i % 997) * 13.7 - 5000
+    y = (i % 499) * 29.3 - 5000
+    c = int(grid.cell(x, y))
+    ix, iy = grid.cell_xy(c)
+    assert ix * grid.DEFAULT_CELL_SIZE <= x < (ix + 1) * grid.DEFAULT_CELL_SIZE
+    assert iy * grid.DEFAULT_CELL_SIZE <= y < (iy + 1) * grid.DEFAULT_CELL_SIZE
+    disk = grid.grid_disk(c, 2)
+    assert len(disk) == 25 and c in disk
+
+
+# --- scoring properties over random attribute rows (one Spark job) ---------
+
+def test_scores_bounded_and_robustness_formula(spark):
+    import random
+
+    from pyspark.sql import Row
+    from netascore_spark.plans.profile import Profile, attach_index
+    from tests.test_profile_compiler import ATTR_FIELDS, SCHEMA
+
+    rng = random.Random(42)
+    cats = {
+        "bicycle_infrastructure_ft": ["bicycle_way", "mixed_way", "bicycle_lane", "no", None],
+        "pedestrian_infrastructure_ft": ["pedestrian_way", "sidewalk", "no", None],
+        "designated_route_ft": ["international", "local", "no", None],
+        "road_category": ["primary", "residential", "service", "path", None],
+        "pavement": ["asphalt", "gravel", "soft", "cobble", None],
+    }
+    rows = []
+    for i in range(200):
+        base = {n: None for n, _ in ATTR_FIELDS}
+        base.update(
+            edge_id=i,
+            access_car_ft=True, access_car_tf=True,
+            access_bicycle_ft=True, access_bicycle_tf=True,
+            access_pedestrian_ft=True, access_pedestrian_tf=True,
+        )
+        for col, vals in cats.items():
+            base[col] = rng.choice(vals)
+        base["bicycle_infrastructure_tf"] = base["bicycle_infrastructure_ft"]
+        base["pedestrian_infrastructure_tf"] = base["pedestrian_infrastructure_ft"]
+        base["designated_route_tf"] = base["designated_route_ft"]
+        base["max_speed_ft"] = rng.choice([0.0, 30.0, 50.0, 100.0, 130.0, None])
+        base["max_speed_tf"] = base["max_speed_ft"]
+        base["max_speed_greatest"] = base["max_speed_ft"]
+        base["gradient_ft"] = rng.choice([float(g) for g in range(-4, 5)] + [None])
+        base["gradient_tf"] = None if base["gradient_ft"] is None else -base["gradient_ft"]
+        base["number_lanes_ft"] = rng.choice([1.0, 2.0, 4.0, None])
+        base["number_lanes_tf"] = base["number_lanes_ft"]
+        base["facilities"] = rng.choice([0.0, 1.5, 10.0, None])
+        base["crossings"] = rng.choice([0.0, 2.0, None])
+        base["buildings"] = rng.choice([0.0, 30.0, 90.0, None])
+        base["greenness"] = rng.choice([0.0, 40.0, 80.0, None])
+        base["water"] = rng.choice([True, False, None])
+        base["noise"] = rng.choice([40.0, 60.0, 75.0, None])
+        rows.append(Row(**base))
+    df = spark.createDataFrame(rows, schema=SCHEMA)
+    bike = Profile.from_yaml("profiles/profile_bike.yml", "bike")
+    walk = Profile.from_yaml("profiles/profile_walk.yml", "walk")
+    out = attach_index(attach_index(df, bike), walk).collect()
+    for r in out:
+        for p in ("bike", "walk"):
+            for d in ("ft", "tf"):
+                v = r[f"index_{p}_{d}"]
+                rb = r[f"index_{p}_{d}_robustness"]
+                if v is not None:
+                    assert 0.0 <= v <= 1.0, (r["edge_id"], p, d, v)
+                if rb is not None:
+                    assert 0.0 <= rb <= 1.0 + 1e-9
