@@ -961,6 +961,28 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(emb, queries, dim=dim, k=5, bits=8, tables=8)
 
 
+
+def q_ann_ivf(spark, sf_dir):
+    from netascore_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return ivf_ann_topk(emb, queries, dim=dim, k=5, n_lists=16, n_probe=4)
+
+
+def q_embedding_dedup(spark, sf_dir):
+    from netascore_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    # driver embeddings are near-orthogonal gaussians (max pairwise
+    # cosine ~0.51); 0.4 exercises the refine path with non-empty output
+    return embedding_near_dups(emb, dim=dim, threshold=0.4)
+
+
 def q_multimodal_features(spark, sf_dir):
     from netascore_spark.operators.multimodal import extract_features, synthetic_media
 
@@ -1038,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_dedup": q_embedding_dedup,
         "multimodal_features": q_multimodal_features,
     }
 

@@ -99,6 +99,109 @@ def lsh_bucket_udf(dim: int, bits: int = 12, tables: int = 4, seed: int = 42):
     return _buckets
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_fraction: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means centroids from a driver-side sample,
+    corpus partitioned by nearest centroid, queries probe the ``n_probe``
+    nearest lists only.
+
+    The centroid table is tiny and broadcast; at 100 TB the corpus-side
+    assignment is one map stage and each query touches n_probe/n_lists of
+    the data.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(vec_col)
+        .sample(fraction=sample_fraction, seed=seed)
+        .limit(max(n_lists * 50, 500))
+        .collect()
+    )
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(10):  # Lloyd iterations on the sample
+        sims = x @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+
+    cents = centroids  # captured by the UDFs
+
+    def list_udf(probe: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def _lists(vecs: pd.Series) -> pd.Series:
+            out = []
+            for v in vecs:
+                a = np.asarray(v, dtype=np.float64)
+                a = a / max(np.linalg.norm(a), 1e-12)
+                sims = cents @ a
+                out.append([int(i) for i in np.argsort(-sims)[:probe]])
+            return pd.Series(out)
+
+        return _lists
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec")
+    ).withColumn("list_id", F.explode(list_udf(1)(F.col("cvec"))))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    ).withColumn("list_id", F.explode(list_udf(n_probe)(F.col("qvec"))))
+    cand = c.join(F.broadcast(q), "list_id").dropDuplicates([query_id_col, id_col])
+    scored = cand.select(
+        query_id_col, id_col,
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 10,
+    tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket self-join, exact
+    cosine refine at ``threshold`` (the dedup variant of the ANN path)."""
+    budf = lsh_bucket_udf(dim, bits, tables, seed)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumn("bucket", F.explode(budf(F.col("vec"))))
+    a = c.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    b = c.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

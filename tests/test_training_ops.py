@@ -148,3 +148,44 @@ def test_multimodal_plumbing(spark):
         assert 0 <= r["byte_entropy"] <= 4.0  # log2(16)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(media)
+
+
+def test_ivf_ann(spark, vectors):
+    from netascore_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    queries = vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(vectors, queries, k=5).collect()
+    approx = ivf_ann_topk(vectors, queries, dim=16, k=5, n_lists=8, n_probe=4).collect()
+    es, aps = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        aps.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(es[q] & aps.get(q, set())) / len(es[q]) for q in es]
+    assert np.mean(recalls) >= 0.35
+    for q in es:
+        assert q in aps.get(q, set())  # self-match always found
+
+
+def test_embedding_near_dups(spark):
+    from pyspark.sql import types as T
+    from netascore_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(20, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # two exact clones and one slightly-perturbed near-dup of vec 0
+    rows.append((100, rows[0][1]))
+    rows.append((101, [float(x + 0.001) for x in rows[0][1]]))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    pairs = embedding_near_dups(df, dim=16, threshold=0.99).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 100) in keys and (0, 101) in keys and (100, 101) in keys
+    # unrelated gaussians don't pair at 0.99
+    assert all(a in (0, 100, 101) and b in (0, 100, 101) for a, b in keys)
