@@ -35,9 +35,11 @@ def main() -> None:
     from netascore_spark.plans.profile import Profile, attach_index
     import __spark_entry__ as E
 
+    # constant shuffle partitions across parallelism levels: the scaling
+    # comparison must run the SAME physical plan at N and 4N cores
     spark = build_session(
         app_name="netascore-bench", master=f"local[{cpus}]",
-        shuffle_partitions=max(int(cpus) * 2, 8),
+        shuffle_partitions=64,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -75,8 +75,15 @@ def assign_ids(
 
 
 def row_number_small(df: DataFrame, order_cols: list[str], id_col: str = "id") -> DataFrame:
-    """Single-window variant for provably small inputs (fixtures, tests)."""
+    """Single-window variant for provably small inputs (fixtures, tests).
+
+    The global window collapses to ONE partition; repartition the result so
+    downstream joins/UDFs don't inherit single-task parallelism (streamed
+    join sides keep their partitioning — a 1-partition edge table serializes
+    every downstream spatial join).
+    """
     from pyspark.sql import Window
 
     w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn(id_col, F.row_number().over(w).cast("long"))
+    out = df.withColumn(id_col, F.row_number().over(w).cast("long"))
+    return out.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))

@@ -139,13 +139,35 @@ def nearest_edges(
     radius: float = 500.0,
     cell_size: float = grid.DEFAULT_CELL_SIZE,
     salt_threshold: int | None = None,
+    progressive: bool = False,
 ) -> DataFrame:
     """(url, edge_id, dist, rank<=k) for edges within ``radius``.
 
-    Pages explode to the cell disk covering ``radius`` (cell-ring
-    expansion); edges explode to their line cover.  Hot cells optionally
-    pre-salted.
+    ``progressive=True`` enables two-phase cell-ring expansion: phase 1
+    searches a small padded cover (``cell_size/2``); a page is FINAL when
+    its k-th best distance <= that pad (its cell is inside every nearer
+    edge's padded cover, so no closer edge can exist outside).  Only
+    unresolved pages rejoin against the full ``radius`` cover.  Verified
+    result-identical to the flat search; worth it when the candidate
+    multiplier (edges within radius) is large — at the measured fixture
+    density the flat single-pass plan is faster, so flat is the default.
     """
+    if progressive and radius > cell_size:
+        p1 = cell_size / 2.0
+        phase1 = nearest_edges(
+            pages_geo, edges, k, p1, cell_size, salt_threshold, progressive=False
+        )
+        kth = phase1.groupBy("url").agg(
+            F.max("dist").alias("kth"), F.count("*").alias("n")
+        )
+        final_urls = kth.filter((F.col("n") >= k) & (F.col("kth") <= p1)).select("url")
+        resolved = phase1.join(final_urls, "url", "left_semi")
+        unresolved_pages = pages_geo.join(final_urls, "url", "left_anti")
+        rest = nearest_edges(
+            unresolved_pages, edges, k, radius, cell_size, salt_threshold,
+            progressive=False,
+        )
+        return resolved.unionByName(rest)
     # pad the EDGE side (the far smaller cover): each page keeps its single
     # cell; edges explode to cells within `radius` of their linework — the
     # same cell-ring guarantee at a fraction of the shuffled rows (pages are
@@ -153,7 +175,16 @@ def nearest_edges(
     pg = pages_geo.filter(F.col("x").isNotNull()).select("url", "x", "y", "cell")
     ec = spatial.with_cells(
         edges.select("edge_id", "geom"), "geom", cell_size, pad=radius
-    )
+    ).select("cell", "edge_id")  # geometry resolved via broadcast, not shipped
+
+    # broadcast the edge geometries python-side: candidate rows then carry
+    # only (url, x, y, edge_id) — ~10x less Arrow traffic than a WKB column
+    # per candidate (the dist stage is bandwidth-bound otherwise).  At
+    # planet-scale edge counts this dict still fits executors (1e8 edges x
+    # ~150B); beyond that, partition-wise geometry joins take over.
+    geom_rows = edges.select("edge_id", "geom").collect()
+    geom_map = {r["edge_id"]: bytes(r["geom"]) for r in geom_rows}
+    bc_geoms = pages_geo.sparkSession.sparkContext.broadcast(geom_map)
 
     if salt_threshold:
         hot = spatial.hot_cells(pg, "cell", salt_threshold)
@@ -167,23 +198,36 @@ def nearest_edges(
     cand = pg.join(ec, join_key)
 
     @F.pandas_udf(T.DoubleType())
-    def dist(x: pd.Series, y: pd.Series, geom: pd.Series) -> pd.Series:
-        # group the Arrow batch by edge geometry and compute all its page
-        # distances in one vectorized pass (numpy N x segments broadcast)
+    def dist(x: pd.Series, y: pd.Series, edge_id: pd.Series) -> pd.Series:
+        # group the Arrow batch by edge and compute all its page distances in
+        # one vectorized pass (numpy N x segments broadcast); geometries come
+        # from the python-side broadcast, decoded once per edge per batch
+        geoms = bc_geoms.value
         xs, ys = x.to_numpy(), y.to_numpy()
         out = np.empty(len(x))
-        order: dict[bytes, list[int]] = {}
-        for i, g in enumerate(geom):
-            order.setdefault(bytes(g), []).append(i)
-        for gb, idx in order.items():
-            coords = wkb.decode(gb)[1]
+        order: dict[int, list[int]] = {}
+        for i, e in enumerate(edge_id):
+            order.setdefault(int(e), []).append(i)
+        for eid, idx in order.items():
+            coords = wkb.decode(geoms[eid])[1]
             pts = np.stack([xs[idx], ys[idx]], axis=1)
             out[idx] = ops.points_line_dist(pts, coords)
         return pd.Series(out)
 
-    scored = cand.withColumn("dist", dist(F.col("x"), F.col("y"), F.col("geom"))).filter(
-        F.col("dist") <= radius
-    )
+    scored = cand.withColumn(
+        "dist", dist(F.col("x"), F.col("y"), F.col("edge_id"))
+    ).filter(F.col("dist") <= radius)
+    if k == 1:
+        # nearest-only: min(struct(dist, edge_id)) aggregates map-side
+        # (partial combine) — no full window shuffle+sort.  struct ordering
+        # matches the window tie-break (dist asc, edge_id asc).
+        best = scored.groupBy("url").agg(F.min(F.struct("dist", "edge_id")).alias("m"))
+        return best.select(
+            "url",
+            F.col("m.edge_id").alias("edge_id"),
+            F.round(F.col("m.dist"), 6).alias("dist"),
+            F.lit(1).alias("rank"),
+        )
     w = Window.partitionBy("url").orderBy(F.col("dist").asc(), F.col("edge_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
