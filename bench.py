@@ -22,8 +22,10 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
-    # fixture sizes scale with sf (FIXTURES.md: 2k/20k/200k pages)
-    n_pages = max(int(2_000_000 * sf), 2000)
+    # fixture sizes scale with sf (FIXTURES.md: 2k/20k/200k pages);
+    # SPARK_GRAFT_PAGES overrides (the scaling harness uses a larger input
+    # so fixed stage overhead doesn't dominate the measurement)
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", 0)) or max(int(2_000_000 * sf), 2000)
     osm_scale = {0.001: 2, 0.01: 3, 0.1: 6}.get(sf, max(2, int(60 * sf)))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

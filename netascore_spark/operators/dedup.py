@@ -69,8 +69,18 @@ def _shingles(text_col: str, n: int):
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least defaultParallelism partitions: a small parquet file
+    scans as ONE split, which would serialize the shingle explode (the
+    expensive part) onto one core regardless of cluster size."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def with_shingles(docs: DataFrame, id_col="doc_id", text_col="text", n=3) -> DataFrame:
-    return docs.select(F.col(id_col), _shingles(text_col, n).alias("shingles"))
+    return _spread(docs).select(F.col(id_col), _shingles(text_col, n).alias("shingles"))
 
 
 def ngram_jaccard_pairs(

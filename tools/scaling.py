@@ -22,7 +22,14 @@ import sys
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        # larger pages input for the scaling measurement: amortizes constant
+        # stage-scheduling overhead so the ratio reflects the engine
+        SPARK_GRAFT_PAGES=os.environ.get("SPARK_GRAFT_PAGES", "600000"),
+    )
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
         timeout=3600,
