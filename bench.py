@@ -112,13 +112,23 @@ def main() -> None:
     timed("pages_tile_join", run_pages)
     pages_sec = round(n_pages / timings["pages_tile_join"], 2)
 
-    # --- driver-table headline queries -------------------------------------
+    # free page caches before the small queries (GC pressure at high thread
+    # counts otherwise dominates their measurement)
+    pg_raw.unpersist()
+    spark.catalog.clearCache()
+
+    # --- driver-table headline queries (best-of-2: JIT/GC variance) --------
     for name in [
         "pricing_summary", "attr_attach", "dsl_score", "row_number",
         "ngram_dedup", "cosine_topk", "text_stats",
     ]:
         fn = E.queries()[name]
-        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -476,6 +476,17 @@ def net_type() -> Column:
 
 
 # ---------------------------------------------------------------------------
+# utmzone (F6, sql/functions/determine_utmzone.sql:3-25) — driver-side config
+# ---------------------------------------------------------------------------
+
+def utmzone(lon: float, lat: float) -> int:
+    """EPSG code of the UTM zone containing (lon, lat):
+    ``32600 + floor((lon+180)/6)+1`` north, ``32700 + ...`` south."""
+    zone = int((lon + 180.0) // 6.0) + 1
+    return (32600 if lat >= 0 else 32700) + zone
+
+
+# ---------------------------------------------------------------------------
 # escalator / indoor / layer extraction (osm_network.sql.j2:62-69)
 # ---------------------------------------------------------------------------
 

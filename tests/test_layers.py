@@ -36,3 +36,12 @@ def test_water_layer(spark):
     )
     rows = w.collect()
     assert len(rows) == 1 and rows[0]["geom_type"] == "polygon"
+
+
+def test_utmzone():
+    # F6 (determine_utmzone.sql): Salzburg lon=13.05, lat=47.8 -> 33N
+    from netascore_spark.functions.attributes import utmzone
+
+    assert utmzone(13.05, 47.8) == 32633
+    assert utmzone(-0.1, 51.5) == 32630   # London
+    assert utmzone(151.2, -33.9) == 32756  # Sydney (south)
