@@ -702,6 +702,105 @@ FROM s
 """
 
 
+def q_max_speed(spark, sf_dir):
+    """The max_speed CASE cascade (osm_attributes.sql.j2:626-672) evaluated
+    by the engine's Column builder over synthesized OSM columns,
+    cross-checked against a hand-written SQL rendering."""
+    from netascore_spark.functions.attributes import max_speed_clamped, max_speed_raw
+
+    k = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    hws = ["residential", "living_street", "tertiary", "cycleway", "footway",
+           "track", "path", "unclassified", "motorway", "motorway_link",
+           "primary_link", "steps", "service", "raceway", "construction",
+           "primary", "secondary", None]
+    hw = F.when(F.lit(False), "x")
+    for i, h in enumerate(hws):
+        hw = hw.when(k % len(hws) == i, F.lit(h))
+    df = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), F.col("l_linenumber"),
+        hw.alias("highway"),
+        F.when(k % 5 == 0, "no").when(k % 5 == 1, "private")
+         .when(k % 5 == 2, "yes").otherwise(F.lit(None)).alias("access"),
+        F.when(k % 7 == 0, "yes").when(k % 7 == 1, "no")
+         .when(k % 7 == 2, "designated").otherwise(F.lit(None)).alias("bicycle"),
+        F.when(k % 11 == 0, "yes").when(k % 11 == 1, "no").otherwise(F.lit(None)).alias("foot"),
+        F.when(k % 13 == 0, "yes").when(k % 13 == 1, "no")
+         .when(k % 13 == 2, "agricultural").otherwise(F.lit(None)).alias("motorcar"),
+        F.when(k % 6 == 0, "grade2").when(k % 6 == 1, "grade4").otherwise(F.lit(None)).alias("tracktype"),
+        F.when(k % 17 == 0, "B304").otherwise(F.lit(None)).alias("ref"),
+        F.when(k % 9 == 0, F.lit("60")).when(k % 9 == 1, F.lit("200"))
+         .when(k % 9 == 2, F.lit("walk")).otherwise(F.lit(None)).alias("ms_tag"),
+    ).withColumn("tags", F.when(F.col("ms_tag").isNotNull(),
+                                F.create_map(F.lit("maxspeed"), F.col("ms_tag")))
+                          .otherwise(F.create_map().cast("map<string,string>")))
+    return df.select(
+        "l_orderkey", "l_linenumber",
+        max_speed_clamped(max_speed_raw()).alias("max_speed"),
+    )
+
+
+_MAX_SPEED_ORACLE = """
+WITH s AS (
+    SELECT l_orderkey, l_linenumber,
+        (l_orderkey * 10 + l_linenumber) AS k
+    FROM lineitem
+), cols AS (
+    SELECT l_orderkey, l_linenumber,
+        (['residential','living_street','tertiary','cycleway','footway',
+          'track','path','unclassified','motorway','motorway_link',
+          'primary_link','steps','service','raceway','construction',
+          'primary','secondary',NULL])[CAST(k % 18 AS INTEGER) + 1] AS highway,
+        CASE WHEN k % 5 = 0 THEN 'no' WHEN k % 5 = 1 THEN 'private'
+             WHEN k % 5 = 2 THEN 'yes' END AS access,
+        CASE WHEN k % 7 = 0 THEN 'yes' WHEN k % 7 = 1 THEN 'no'
+             WHEN k % 7 = 2 THEN 'designated' END AS bicycle,
+        CASE WHEN k % 11 = 0 THEN 'yes' WHEN k % 11 = 1 THEN 'no' END AS foot,
+        CASE WHEN k % 13 = 0 THEN 'yes' WHEN k % 13 = 1 THEN 'no'
+             WHEN k % 13 = 2 THEN 'agricultural' END AS motorcar,
+        CASE WHEN k % 6 = 0 THEN 'grade2' WHEN k % 6 = 1 THEN 'grade4' END AS tracktype,
+        CASE WHEN k % 17 = 0 THEN 'B304' END AS ref,
+        CASE WHEN k % 9 = 0 THEN '60' WHEN k % 9 = 1 THEN '200'
+             WHEN k % 9 = 2 THEN 'walk' END AS ms
+    FROM s
+), raw AS (
+    SELECT l_orderkey, l_linenumber,
+        CASE
+            WHEN regexp_matches(ms, '^([0-9]{1,3})$') THEN CAST(ms AS INTEGER)
+            WHEN highway IN ('residential','living_street','tertiary')
+                 AND (access IN ('designated','destination','yes') OR access IS NULL) THEN 50
+            WHEN highway IN ('cycleway','footway','tertiary')
+                 OR bicycle IN ('yes','designated')
+                 OR foot IN ('yes','designated','official','permissive') THEN 0
+            WHEN highway IN ('track','path','unclassified')
+                 AND (bicycle <> 'no' OR bicycle IS NULL)
+                 AND (foot <> 'no' OR foot IS NULL)
+                 AND (motorcar <> 'yes' OR motorcar IS NULL)
+                 AND tracktype IN ('grade3','grade4','grade5') THEN 0
+            WHEN highway = 'motorway' THEN 130
+            WHEN highway = 'motorway_link' THEN 100
+            WHEN highway = 'primary_link' THEN 80
+            WHEN access = 'no' OR motorcar = 'no' OR highway = 'steps' THEN 0
+            WHEN motorcar = 'agricultural' OR highway = 'path'
+                 OR (highway = 'track' AND (access <> 'no' OR access IS NULL)) THEN 10
+            WHEN highway = 'living_street'
+                 OR (highway = 'service' AND access = 'private')
+                 OR (highway = 'residential' AND access = 'private')
+                 OR (highway = 'construction' AND tracktype IS NOT NULL) THEN 20
+            WHEN highway = 'service' THEN 30
+            WHEN highway = 'raceway' THEN 5
+            WHEN highway = 'unclassified'
+                 OR (highway = 'construction' AND ref IS NULL) THEN 50
+            WHEN highway = 'construction' AND ref = 'B304' THEN 70
+            WHEN highway IN ('primary','secondary') THEN 100
+        END AS raw_ms
+    FROM cols
+)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN raw_ms IS NOT NULL THEN least(raw_ms::DOUBLE, 130.0::DOUBLE) END AS max_speed
+FROM raw
+"""
+
+
 # ===========================================================================
 # training-data ops over documents / embeddings
 # ===========================================================================
@@ -1031,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_vocab": q_case_vocab,
         "regex_extract": q_regex_extract,
         "width_parse": q_width_parse,
+        "max_speed_cascade": q_max_speed,
         "bit_decode": q_bit_decode,
         # joins / aggs / windows / set ops
         "attr_attach": q_attr_attach,
@@ -1075,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "case_vocab": _CASE_ORACLE,
         "regex_extract": _REGEX_ORACLE,
         "width_parse": _WIDTH_ORACLE,
+        "max_speed_cascade": _MAX_SPEED_ORACLE,
         "bit_decode": _BIT_ORACLE,
         "attr_attach": _ATTR_ATTACH_ORACLE,
         "anti_join": _ANTI_ORACLE,
