@@ -502,34 +502,200 @@ def intersection_area3(
     return max(total, 0.0)
 
 
+def _ear_triangulate(ring: np.ndarray) -> list[np.ndarray]:
+    """Simple closed ring -> disjoint CCW triangles covering it exactly.
+
+    Standard ear clipping with collinear-vertex removal; degrades to a fan
+    (exact for convex/star inputs) if numeric trouble leaves no ear.
+    """
+    pts = ring[:-1] if np.allclose(ring[0], ring[-1]) else ring
+    pts = np.asarray(pts, dtype=float)
+    if len(pts) < 3:
+        return []
+    if ring_signed_area(np.vstack([pts, pts[:1]])) < 0:
+        pts = pts[::-1]
+    idx = list(range(len(pts)))
+    tris: list[np.ndarray] = []
+
+    def _cross(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    def _in_tri(p, a, b, c, eps):
+        return (
+            _cross(a, b, p) > eps and _cross(b, c, p) > eps and _cross(c, a, p) > eps
+        )
+
+    guard = 0
+    while len(idx) > 3 and guard < 4 * len(pts) ** 2:
+        guard += 1
+        n = len(idx)
+        found = False
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            cr = _cross(a, b, c)
+            if abs(cr) <= EPS:  # collinear vertex: drop it, no triangle
+                idx.pop(k)
+                found = True
+                break
+            if cr < 0:  # reflex
+                continue
+            if any(
+                _in_tri(pts[j], a, b, c, -EPS)
+                for j in idx
+                if j not in (i0, i1, i2)
+            ):
+                continue
+            tris.append(np.array([a, b, c]))
+            idx.pop(k)
+            found = True
+            break
+        if not found:  # numeric dead end: fan the remainder (exact for convex)
+            o = pts[idx[0]]
+            for k in range(1, len(idx) - 1):
+                t = np.array([o, pts[idx[k]], pts[idx[k + 1]]])
+                if abs(ring_signed_area(np.vstack([t, t[:1]]))) > EPS:
+                    if ring_signed_area(np.vstack([t, t[:1]])) < 0:
+                        t = t[::-1]
+                    tris.append(t)
+            return tris
+    if len(idx) == 3:
+        t = np.array([pts[idx[0]], pts[idx[1]], pts[idx[2]]])
+        if abs(ring_signed_area(np.vstack([t, t[:1]]))) > EPS:
+            if ring_signed_area(np.vstack([t, t[:1]])) < 0:
+                t = t[::-1]
+            tris.append(t)
+    return tris
+
+
+def _clip_halfplane(poly: np.ndarray, a: np.ndarray, edge: np.ndarray, keep_left: bool) -> np.ndarray:
+    """Clip convex ``poly`` (open CCW array) by the line through ``a`` with
+    direction ``edge``; keep the left (or right) side."""
+    if len(poly) == 0:
+        return poly
+    d = np.cross(np.broadcast_to(edge, (len(poly), 2)), poly - a)
+    inside = d >= -EPS if keep_left else d <= EPS
+    res = []
+    n = len(poly)
+    for k in range(n):
+        k2 = (k + 1) % n
+        if inside[k]:
+            res.append(poly[k])
+        if inside[k] != inside[k2]:
+            p1, p2 = poly[k], poly[k2]
+            seg = p2 - p1
+            denom = edge[0] * seg[1] - edge[1] * seg[0]
+            if abs(denom) > EPS:
+                t = (edge[0] * (p1[1] - a[1]) - edge[1] * (p1[0] - a[0])) / -denom
+                res.append(p1 + np.clip(t, 0.0, 1.0) * seg)
+    if not res:
+        return np.empty((0, 2))
+    out = np.array(res)
+    # drop duplicate consecutive vertices (incl. wrap-around): a zero-length
+    # edge downstream would make both half-plane clips keep everything
+    keep = np.ones(len(out), dtype=bool)
+    for k in range(len(out)):
+        if np.abs(out[k] - out[(k + 1) % len(out)]).sum() <= EPS:
+            keep[(k + 1) % len(out)] = False
+    return out[keep]
+
+
+def _convex_difference(p: np.ndarray, c: np.ndarray) -> list[np.ndarray]:
+    """p \\ c for convex CCW polygons, as DISJOINT convex pieces.
+
+    Piece i = p ∩ (outside half-plane of c's edge i) ∩ (inside half-planes of
+    edges 0..i-1) — the standard disjoint decomposition of a convex
+    complement.
+    """
+    # bbox fast path: disjoint boxes -> nothing removed
+    if (
+        c[:, 0].min() > p[:, 0].max() or c[:, 0].max() < p[:, 0].min()
+        or c[:, 1].min() > p[:, 1].max() or c[:, 1].max() < p[:, 1].min()
+    ):
+        return [p]
+    pieces = []
+    remaining = p
+    n = len(c)
+    for i in range(n):
+        if len(remaining) < 3:
+            break
+        a, b = c[i], c[(i + 1) % n]
+        edge = b - a
+        if abs(edge[0]) + abs(edge[1]) <= EPS:  # degenerate edge: no cut
+            continue
+        outside = _clip_halfplane(remaining, a, edge, keep_left=False)
+        if len(outside) >= 3 and abs(
+            ring_signed_area(np.vstack([outside, outside[:1]]))
+        ) > EPS:
+            pieces.append(outside)
+        remaining = _clip_halfplane(remaining, a, edge, keep_left=True)
+    return pieces
+
+
+def _poly_pieces(rings: list[np.ndarray], bbox=None) -> list[np.ndarray]:
+    """Disjoint convex pieces covering a polygon-with-holes, optionally
+    pre-clipped to a bbox (minx, miny, maxx, maxy)."""
+    tris = _ear_triangulate(rings[0])
+    if bbox is not None:
+        minx, miny, maxx, maxy = bbox
+        box = np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]])
+        clipped = []
+        for t in tris:
+            ct = _clip_convex(t, box)
+            if len(ct) >= 3 and abs(ring_signed_area(np.vstack([ct, ct[:1]]))) > EPS:
+                clipped.append(ct)
+        tris = clipped
+    for hole in rings[1:]:
+        for h in _ear_triangulate(hole):
+            tris = [frag for t in tris for frag in _convex_difference(t, h)]
+    return tris
+
+
+def union_pieces(
+    polys: list[list[np.ndarray]], bbox=None
+) -> list[np.ndarray]:
+    """Disjoint convex pieces exactly covering Union(polys) (∩ bbox).
+
+    Incremental construction: each polygon's triangles are reduced by the
+    union-so-far (convex difference), so only NEW coverage is appended —
+    exact for any overlap depth (not pairwise-truncated)."""
+    pieces: list[np.ndarray] = []
+    for rings in polys:
+        for t in _poly_pieces(rings, bbox):
+            frags = [t]
+            for c in pieces:
+                frags = [f for fr in frags for f in _convex_difference(fr, c)]
+                if not frags:
+                    break
+            pieces.extend(frags)
+    return pieces
+
+
 def union_area_in_region(
     polys: list[list[np.ndarray]], region: list[np.ndarray]
 ) -> float:
     """ST_Area(ST_Union(poly_i ∩ region)) — the union-before-area of A3
-    (osm_attributes.sql.j2:946-951).
-
-    Inclusion–exclusion truncated at pairs: exact unless three inputs
-    mutually overlap inside the region.
-    """
-    total = sum(intersection_area(p, region) for p in polys)
-    for i in range(len(polys)):
-        for j in range(i + 1, len(polys)):
-            total -= intersection_area3(polys[i], polys[j], region)
+    (osm_attributes.sql.j2:946-951).  EXACT for any overlap depth: the union
+    is decomposed into disjoint convex pieces (incremental convex
+    difference), each intersected with the region."""
+    rb = region[0]
+    bbox = (rb[:, 0].min(), rb[:, 1].min(), rb[:, 0].max(), rb[:, 1].max())
+    total = 0.0
+    for piece in union_pieces(polys, bbox):
+        total += intersection_area([np.vstack([piece, piece[:1]])], region)
     return max(total, 0.0)
 
 
 def union_area(polys: list[list[np.ndarray]]) -> float:
-    """Area of the union of polygons (ST_Area(ST_Union(...)), A3).
-
-    Inclusion–exclusion truncated at pairs — exact when no three inputs
-    mutually overlap (building/greenness layers are disjoint-by-construction
-    in OSM; documented limitation otherwise).
-    """
-    total = sum(polygon_area(p) for p in polys)
-    for i in range(len(polys)):
-        for j in range(i + 1, len(polys)):
-            total -= intersection_area(polys[i], polys[j])
-    return max(total, 0.0)
+    """Area of the union of polygons (ST_Area(ST_Union(...)), A3) — exact
+    for any overlap depth via disjoint convex decomposition."""
+    return max(
+        sum(
+            abs(ring_signed_area(np.vstack([p, p[:1]])))
+            for p in union_pieces(polys)
+        ),
+        0.0,
+    )
 
 
 def polygons_intersect(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> bool:

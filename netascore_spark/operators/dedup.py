@@ -117,12 +117,14 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("inter"))
     )
-    return shared.select(
-        "id_a", "id_b",
-        F.round(
-            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
-        ).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    # threshold on the UNROUNDED value (matching exact SQL semantics —
+    # rounding first would flip boundary pairs at jaccard ~= threshold),
+    # round only the reported column
+    raw = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        shared.filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -184,18 +186,23 @@ def minhash_lsh_pairs(
         "shingles"
     )
     sig.persist()
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    buckets = sig.select(
-        F.col(id_col),
-        F.explode(band_idx).alias("band"),
-    ).join(sig.select(id_col, "sig"), id_col).select(
-        F.col(id_col),
-        F.col("band"),
-        F.xxhash64(
-            F.col("band"),
-            F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
-        ).alias("bucket"),
+    # explode the bands straight off the row that already carries `sig`
+    # (static band count -> literal array) — no self-join, one fewer shuffle
+    band_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.lit(i),
+                    F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
     )
+    buckets = sig.select(
+        F.col(id_col), F.explode(band_buckets).alias("bb")
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (

@@ -118,9 +118,10 @@ def intersections(lp: DataFrame, cell_size: float) -> DataFrame:
         a.join(b, "cell")
         .filter(F.col("osm_id_1") < F.col("osm_id_2"))
         .drop("cell")
-        .dropDuplicates(["osm_id_1", "osm_id_2"])
     )
     # NOT ST_Equals on the four endpoint combinations (osm_network.sql.j2:100-103)
+    # — applied BEFORE the pair-dedup shuffle: it's a map-side row filter, and
+    # the rows it kills carry two WKB geoms each (cheapest place to drop them)
     for s1 in ("0", "1"):
         for s2 in ("0", "1"):
             pairs = pairs.filter(
@@ -129,6 +130,7 @@ def intersections(lp: DataFrame, cell_size: float) -> DataFrame:
                     & (F.col(f"y{s1}_1") == F.col(f"y{s2}_2"))
                 )
             )
+    pairs = pairs.dropDuplicates(["osm_id_1", "osm_id_2"])
     pts = pairs.withColumn(
         "ipoints", _intersection_points(F.col("geom_1"), F.col("geom_2"))
     ).drop("geom_1", "geom_2")
@@ -239,6 +241,12 @@ _SPLIT_TYPE = T.ArrayType(T.BinaryType())
 def _split_pieces(geom: pd.Series, points: pd.Series) -> pd.Series:
     out = []
     for g, pts in zip(geom, points):
+        if pts is None or len(pts) == 0:
+            # untouched edge: pass the original bytes through UNCHANGED (no
+            # decode/encode round-trip — byte identity is load-bearing for
+            # the UNION-dedup and golden hashes)
+            out.append([bytes(g)])
+            continue
         coords = wkb.decode(bytes(g))[1]
         cut_pts = [np.array([p["px"], p["py"]]) for p in pts]
         pieces = ops.split_line(coords, cut_pts)
@@ -247,21 +255,22 @@ def _split_pieces(geom: pd.Series, points: pd.Series) -> pd.Series:
 
 
 def split_edges(net_init: DataFrame, targets: DataFrame) -> DataFrame:
-    """network_corrected: split touched edges, pass the rest through."""
+    """network_corrected: split touched edges, pass the rest through.
+
+    ONE left join (split targets attached where present; the UDF passes
+    untouched geometry through byte-identically) instead of the join +
+    anti-join pair — halves the probe passes over the (big) edge side.
+    """
     passthrough = [c for c in net_init.columns if c != "geom"]
-    touched = net_init.join(targets, "osm_id")
-    split = touched.withColumn(
+    joined = net_init.join(targets, "osm_id", "left")
+    split = joined.withColumn(
         "pieces", _split_pieces(F.col("geom"), F.col("split_points"))
     ).drop("geom", "split_points")
     split = (
         split.select("*", F.posexplode("pieces").alias("seg_seq", "geom"))
         .drop("pieces")
     )
-    untouched = net_init.join(targets.select("osm_id"), "osm_id", "left_anti")
-    untouched = untouched.withColumn("seg_seq", F.lit(0))
-    out = split.select(*passthrough, "seg_seq", "geom").unionByName(
-        untouched.select(*passthrough, "seg_seq", "geom")
-    )
+    out = split.select(*passthrough, "seg_seq", "geom")
     # UNION (dedup) semantics of osm_network.sql.j2:241
     return out.dropDuplicates(["osm_id", "seg_seq", "geom"])
 
@@ -270,19 +279,27 @@ def split_edges(net_init: DataFrame, targets: DataFrame) -> DataFrame:
 # stage 5: indoor dangling-edge fixpoint (F5)
 # ---------------------------------------------------------------------------
 
-def drop_dangling_indoor(corrected: DataFrame) -> DataFrame:
+def drop_dangling_indoor(corrected: DataFrame, cell_size: float = 200.0) -> DataFrame:
     """osm_delete_dangling_edges.sql: iteratively drop indoor edges with <2
     well-connected endpoints.
 
     Indoor edges are a vanishing fraction (14,181 points at Austria scale,
     osm_network.sql.j2:277), so the fixpoint runs on the driver over the
-    collected indoor subgraph; the deletions are pushed back as one filter.
+    collected indoor subgraph.  Candidate endpoints are restricted by a
+    distributed CELL join against the indoor-edge cell cover (NOT one global
+    bbox — indoor edges scattered across a country would make that bbox the
+    whole AOI and collect every endpoint); only rows landing in an indoor
+    cell reach the driver, bounding the collect by |indoor cells| x density.
     """
     indoor_edges = corrected.filter(
         F.element_at(F.col("tags"), "indoor") == "yes"
     ).select("osm_id", "seg_seq", "geom")
-    n_indoor = indoor_edges.count()
-    if n_indoor == 0:
+    # one job: collect the (tiny) indoor subgraph; empty -> no-op
+    ind = [
+        (r["osm_id"], r["seg_seq"], wkb.decode(bytes(r["geom"]))[1])
+        for r in indoor_edges.collect()
+    ]
+    if not ind:
         return corrected
 
     # endpoints of ALL edges whose point lies on some indoor edge: restrict
@@ -299,18 +316,20 @@ def drop_dangling_indoor(corrected: DataFrame) -> DataFrame:
         ).alias("p"),
     ).select("osm_id", "seg_seq", "p.x", "p.y")
 
-    ind = [
-        (r["osm_id"], r["seg_seq"], wkb.decode(bytes(r["geom"]))[1])
-        for r in indoor_edges.collect()
-    ]
-    # candidate points: within any indoor edge bbox (+eps) — tiny set
-    bxs = np.array([[c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()] for *_, c in ind])
-    minx, miny = float(bxs[:, 0].min()) - 1e-6, float(bxs[:, 1].min()) - 1e-6
-    maxx, maxy = float(bxs[:, 2].max()) + 1e-6, float(bxs[:, 3].max()) + 1e-6
-    pts = all_pts.filter(
-        (F.col("x") >= minx) & (F.col("x") <= maxx)
-        & (F.col("y") >= miny) & (F.col("y") <= maxy)
-    ).collect()
+    # indoor cell cover (driver-side; |indoor| is tiny) -> semi-join filter
+    from netascore_spark import grid as _grid
+
+    indoor_cells: set[int] = set()
+    for *_, coords in ind:
+        indoor_cells.update(
+            int(c) for c in _grid.cover_line(coords, cell_size, pad=1e-6)
+        )
+    cells_df = corrected.sparkSession.createDataFrame(
+        [(c,) for c in sorted(indoor_cells)], "cell long"
+    )
+    pts = all_pts.withColumn(
+        "cell", spatial.point_cell_udf(cell_size)(F.col("x"), F.col("y"))
+    ).join(F.broadcast(cells_df), "cell", "left_semi").collect()
 
     # indoor_points: endpoint rows intersecting an indoor edge
     indoor_pts = []  # (point_key, owner_link)
@@ -360,8 +379,16 @@ def drop_dangling_indoor(corrected: DataFrame) -> DataFrame:
 # stage 6: ids, nodes, edges (osm_network.sql.j2:308-364) — W3/W4, J3
 # ---------------------------------------------------------------------------
 
+# Above this row count the single-partition window of row_number_small is a
+# real bottleneck; below it, assign_ids' extra jobs (range sampling + per-
+# partition counts) cost more than they save.  Ids are IDENTICAL either way
+# (pinned by tests/test_network.py): both are the global rank of a total
+# order key.
+SCALABLE_IDS_THRESHOLD = 2_000_000
+
+
 def finalize_network(
-    corrected: DataFrame, scalable_ids: bool = False
+    corrected: DataFrame, scalable_ids: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """edge_id/node_id assignment + from/to node joins + length."""
     assign = (
@@ -411,9 +438,14 @@ def build_network(
     include_rail: bool = False,
     include_aerialway: bool = False,
     cell_size: float = 200.0,
-    scalable_ids: bool = False,
+    scalable_ids: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full network stage; returns (network_edge, network_node)."""
+    """Full network stage; returns (network_edge, network_node).
+
+    ``scalable_ids=None`` auto-switches: two-phase range-partitioned ids
+    (the 100 TB path) above ``SCALABLE_IDS_THRESHOLD`` rows, a single
+    window below it (cheaper for fixture-sized inputs; ids identical).
+    """
     init = network_init(osm_line, include_rail, include_aerialway)
     lp = link_points(init)
     inter = apply_correction_deletes(dedup_intersections(intersections(lp, cell_size)))
@@ -421,5 +453,12 @@ def build_network(
     # persist: the indoor fixpoint and the id/node stages each launch jobs
     # over the split result — don't recompute the O(n^2) intersection work
     corrected = split_edges(init, targets).persist()
-    corrected = drop_dangling_indoor(corrected)
+    if scalable_ids is None:
+        # bounded count: materializes the persist anyway (the fixpoint's
+        # collect comes next), stops scanning at the threshold
+        n_bounded = corrected.select("osm_id").limit(
+            SCALABLE_IDS_THRESHOLD + 1
+        ).count()
+        scalable_ids = n_bounded > SCALABLE_IDS_THRESHOLD
+    corrected = drop_dangling_indoor(corrected, cell_size)
     return finalize_network(corrected, scalable_ids)

@@ -132,6 +132,13 @@ def join_polygons(
 # cell-ring kNN to nearest road segment
 # ---------------------------------------------------------------------------
 
+# Edge tables at or below this count may use the python-side broadcast
+# fast path (dict of edge_id -> WKB on every executor).  1e6 edges x ~150 B
+# is ~150 MB per python worker — the upper end of sane; anything bigger MUST
+# resolve geometry with the distributed edge_id join.
+BROADCAST_MAX_EDGES = 1_000_000
+
+
 def nearest_edges(
     pages_geo: DataFrame,
     edges: DataFrame,
@@ -140,8 +147,20 @@ def nearest_edges(
     cell_size: float = grid.DEFAULT_CELL_SIZE,
     salt_threshold: int | None = None,
     progressive: bool = False,
+    geom_strategy: str = "join",
 ) -> DataFrame:
     """(url, edge_id, dist, rank<=k) for edges within ``radius``.
+
+    ``geom_strategy`` controls how candidate pairs get their edge geometry:
+
+    - ``"join"`` (default, the 100 TB path): candidates — (url, x, y,
+      edge_id) only, no WKB in the cell shuffle — join back to the edge
+      table on ``edge_id``.  One extra shuffle of *candidate rows only*;
+      no driver collect, no per-executor geometry dict.
+    - ``"broadcast"``: collect edge geometries to a python-side broadcast
+      dict (fast when the edge table is provably small; refuses to run
+      above ``BROADCAST_MAX_EDGES``).
+    - ``"auto"``: bounded count, broadcast iff <= ``BROADCAST_MAX_EDGES``.
 
     ``progressive=True`` enables two-phase cell-ring expansion: phase 1
     searches a small padded cover (``cell_size/2``); a page is FINAL when
@@ -155,7 +174,8 @@ def nearest_edges(
     if progressive and radius > cell_size:
         p1 = cell_size / 2.0
         phase1 = nearest_edges(
-            pages_geo, edges, k, p1, cell_size, salt_threshold, progressive=False
+            pages_geo, edges, k, p1, cell_size, salt_threshold,
+            progressive=False, geom_strategy=geom_strategy,
         )
         kth = phase1.groupBy("url").agg(
             F.max("dist").alias("kth"), F.count("*").alias("n")
@@ -165,7 +185,7 @@ def nearest_edges(
         unresolved_pages = pages_geo.join(final_urls, "url", "left_anti")
         rest = nearest_edges(
             unresolved_pages, edges, k, radius, cell_size, salt_threshold,
-            progressive=False,
+            progressive=False, geom_strategy=geom_strategy,
         )
         return resolved.unionByName(rest)
     # pad the EDGE side (the far smaller cover): each page keeps its single
@@ -175,16 +195,11 @@ def nearest_edges(
     pg = pages_geo.filter(F.col("x").isNotNull()).select("url", "x", "y", "cell")
     ec = spatial.with_cells(
         edges.select("edge_id", "geom"), "geom", cell_size, pad=radius
-    ).select("cell", "edge_id")  # geometry resolved via broadcast, not shipped
+    ).select("cell", "edge_id")  # geometry re-attached after the cell join
 
-    # broadcast the edge geometries python-side: candidate rows then carry
-    # only (url, x, y, edge_id) — ~10x less Arrow traffic than a WKB column
-    # per candidate (the dist stage is bandwidth-bound otherwise).  At
-    # planet-scale edge counts this dict still fits executors (1e8 edges x
-    # ~150B); beyond that, partition-wise geometry joins take over.
-    geom_rows = edges.select("edge_id", "geom").collect()
-    geom_map = {r["edge_id"]: bytes(r["geom"]) for r in geom_rows}
-    bc_geoms = pages_geo.sparkSession.sparkContext.broadcast(geom_map)
+    if geom_strategy == "auto":
+        n_bounded = edges.select("edge_id").limit(BROADCAST_MAX_EDGES + 1).count()
+        geom_strategy = "broadcast" if n_bounded <= BROADCAST_MAX_EDGES else "join"
 
     if salt_threshold:
         hot = spatial.hot_cells(pg, "cell", salt_threshold)
@@ -197,26 +212,67 @@ def nearest_edges(
     # most one cell — no pair-dedup shuffle needed
     cand = pg.join(ec, join_key)
 
-    @F.pandas_udf(T.DoubleType())
-    def dist(x: pd.Series, y: pd.Series, edge_id: pd.Series) -> pd.Series:
-        # group the Arrow batch by edge and compute all its page distances in
-        # one vectorized pass (numpy N x segments broadcast); geometries come
-        # from the python-side broadcast, decoded once per edge per batch
-        geoms = bc_geoms.value
-        xs, ys = x.to_numpy(), y.to_numpy()
-        out = np.empty(len(x))
-        order: dict[int, list[int]] = {}
-        for i, e in enumerate(edge_id):
-            order.setdefault(int(e), []).append(i)
-        for eid, idx in order.items():
-            coords = wkb.decode(geoms[eid])[1]
-            pts = np.stack([xs[idx], ys[idx]], axis=1)
-            out[idx] = ops.points_line_dist(pts, coords)
-        return pd.Series(out)
+    if geom_strategy == "broadcast":
+        # small-edge fast path: candidate rows carry only (url, x, y,
+        # edge_id) — ~10x less Arrow traffic than a WKB column per candidate.
+        geom_rows = edges.select("edge_id", "geom").limit(
+            BROADCAST_MAX_EDGES + 1
+        ).collect()
+        if len(geom_rows) > BROADCAST_MAX_EDGES:
+            raise ValueError(
+                f"geom_strategy='broadcast' with > {BROADCAST_MAX_EDGES} edges; "
+                "use geom_strategy='join'"
+            )
+        geom_map = {r["edge_id"]: bytes(r["geom"]) for r in geom_rows}
+        bc_geoms = pages_geo.sparkSession.sparkContext.broadcast(geom_map)
 
-    scored = cand.withColumn(
-        "dist", dist(F.col("x"), F.col("y"), F.col("edge_id"))
-    ).filter(F.col("dist") <= radius)
+        @F.pandas_udf(T.DoubleType())
+        def dist_bc(x: pd.Series, y: pd.Series, edge_id: pd.Series) -> pd.Series:
+            # group the Arrow batch by edge and compute all its page distances
+            # in one vectorized pass (numpy N x segments broadcast)
+            geoms = bc_geoms.value
+            xs, ys = x.to_numpy(), y.to_numpy()
+            out = np.empty(len(x))
+            order: dict[int, list[int]] = {}
+            for i, e in enumerate(edge_id):
+                order.setdefault(int(e), []).append(i)
+            for eid, idx in order.items():
+                coords = wkb.decode(geoms[eid])[1]
+                pts = np.stack([xs[idx], ys[idx]], axis=1)
+                out[idx] = ops.points_line_dist(pts, coords)
+            return pd.Series(out)
+
+        scored = cand.withColumn(
+            "dist", dist_bc(F.col("x"), F.col("y"), F.col("edge_id"))
+        )
+    elif geom_strategy == "join":
+        # distributed path: shuffle ONLY the candidate rows on edge_id and
+        # attach geometry from the edge table — the driver never sees a
+        # geometry, and no executor holds more than its join partitions.
+        cand = cand.join(edges.select("edge_id", "geom"), "edge_id")
+
+        @F.pandas_udf(T.DoubleType())
+        def dist_join(x: pd.Series, y: pd.Series, geom: pd.Series) -> pd.Series:
+            # candidates arrive clustered by edge_id (post-join) — group the
+            # Arrow batch by WKB bytes, decode each edge once, vectorize
+            xs, ys = x.to_numpy(), y.to_numpy()
+            out = np.empty(len(x))
+            order: dict[bytes, list[int]] = {}
+            for i, g in enumerate(geom):
+                order.setdefault(bytes(g), []).append(i)
+            for gb, idx in order.items():
+                coords = wkb.decode(gb)[1]
+                pts = np.stack([xs[idx], ys[idx]], axis=1)
+                out[idx] = ops.points_line_dist(pts, coords)
+            return pd.Series(out)
+
+        scored = cand.withColumn(
+            "dist", dist_join(F.col("x"), F.col("y"), F.col("geom"))
+        ).drop("geom")
+    else:
+        raise ValueError(f"unknown geom_strategy {geom_strategy!r}")
+
+    scored = scored.filter(F.col("dist") <= radius)
     if k == 1:
         # nearest-only: min(struct(dist, edge_id)) aggregates map-side
         # (partial combine) — no full window shuffle+sort.  struct ordering

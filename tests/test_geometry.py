@@ -233,3 +233,34 @@ def test_random_split_length_invariant():
             pts.append(line[i] + t * (line[i + 1] - line[i]))
         pieces = ops.split_line(line, pts)
         assert sum(ops.length(p) for p in pieces) == pytest.approx(total, rel=1e-9)
+
+
+def test_union_area_triple_overlap_exact():
+    # A3 union-before-area (osm_attributes.sql.j2:946-951): three MUTUALLY
+    # overlapping squares — pairwise inclusion-exclusion would overcount by
+    # the triple-intersection area; the convex-decomposition union is exact.
+    import numpy as np
+    from netascore_spark.geometry import ops
+
+    def sq(x0, y0, s):
+        return [np.array(
+            [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]],
+            dtype=float,
+        )]
+
+    a, b, c = sq(0, 0, 2), sq(1, 0, 2), sq(0.5, 1, 2)
+    # analytic: |A|+|B|+|C| - |AB| - |AC| - |BC| + |ABC|
+    # AB = [1,2]x[0,2] = 2; AC = [0.5,2]x[1,2] = 1.5; BC = [1,2.5]x[1,2] = 1.5
+    # ABC = [1,2]x[1,2] = 1  ->  12 - 5 + 1 = 8
+    assert abs(ops.union_area([a, b, c]) - 8.0) < 1e-9
+
+    # region-clipped variant (the shipped A3 path)
+    region = sq(0.25, 0.25, 2.0)
+    # analytic via inclusion-exclusion inside region = 3.9375
+    assert abs(ops.union_area_in_region([a, b, c], region) - 3.9375) < 1e-9
+
+    # polygon with a hole + stacked identical polys
+    outer = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    hole = np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], dtype=float)
+    assert abs(ops.union_area([[outer, hole]]) - 12.0) < 1e-9
+    assert abs(ops.union_area([a] * 5) - 4.0) < 1e-9

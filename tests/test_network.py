@@ -120,3 +120,36 @@ def test_length_column(spark, net):
     _, edges, _ = net
     bad = edges.filter((F.col("length") <= 0) | F.col("length").isNull()).count()
     assert bad == 0
+
+
+def test_id_paths_identical(spark):
+    # W3/W4: the two-phase scalable assign_ids and the single-window
+    # row_number_small must produce THE SAME ids for the same total order
+    from netascore_spark.operators import ids as ids_op
+    from netascore_spark.sources import fixtures
+    from netascore_spark.pipeline import network as NN
+
+    osm = fixtures.osm_lines(spark, scale=2)
+    init = NN.network_init(osm)
+    lp = NN.link_points(init)
+    inter = NN.apply_correction_deletes(
+        NN.dedup_intersections(NN.intersections(lp, 200.0))
+    )
+    corrected = NN.split_edges(init, NN.split_targets(inter))
+    small = ids_op.row_number_small(corrected, ["osm_id", "seg_seq"], "edge_id")
+    big = ids_op.assign_ids(corrected, ["osm_id", "seg_seq"], "edge_id")
+    a = {(r["osm_id"], r["seg_seq"]): r["edge_id"]
+         for r in small.select("osm_id", "seg_seq", "edge_id").collect()}
+    b = {(r["osm_id"], r["seg_seq"]): r["edge_id"]
+         for r in big.select("osm_id", "seg_seq", "edge_id").collect()}
+    assert a == b
+
+    # and the full network is byte-identical under both finalize paths
+    e1, n1 = NN.build_network(osm, scalable_ids=False)
+    e2, n2 = NN.build_network(osm, scalable_ids=True)
+    k1 = {(r["edge_id"]): (r["osm_id"], r["seg_seq"], r["from_node"], r["to_node"])
+          for r in e1.select("edge_id", "osm_id", "seg_seq", "from_node", "to_node").collect()}
+    k2 = {(r["edge_id"]): (r["osm_id"], r["seg_seq"], r["from_node"], r["to_node"])
+          for r in e2.select("edge_id", "osm_id", "seg_seq", "from_node", "to_node").collect()}
+    assert k1 == k2
+    assert n1.count() == n2.count()

@@ -92,3 +92,23 @@ def test_page_edge_attributes(spark, pages_extracted):
     assert len(rows) > 0
     total = sum(r["page_count"] for r in rows)
     assert total == nn.filter(F.col("rank") == 1).count()
+
+
+def test_nearest_edges_join_equals_broadcast(spark, pages_extracted):
+    # the distributed edge_id-join geometry path (100 TB default) must be
+    # result-identical to the small-table broadcast fast path
+    osm = fixtures.osm_lines(spark, scale=1)
+    edges, _ = N.build_network(osm)
+    j = P.nearest_edges(pages_extracted, edges, k=3, radius=500.0, geom_strategy="join")
+    b = P.nearest_edges(
+        pages_extracted, edges, k=3, radius=500.0, geom_strategy="broadcast"
+    )
+    a = {(r["url"], r["rank"]): (r["edge_id"], r["dist"]) for r in j.collect()}
+    c = {(r["url"], r["rank"]): (r["edge_id"], r["dist"]) for r in b.collect()}
+    assert a == c
+    # auto picks broadcast here (tiny edge table) and stays identical
+    au = P.nearest_edges(
+        pages_extracted, edges, k=3, radius=500.0, geom_strategy="auto"
+    )
+    d = {(r["url"], r["rank"]): (r["edge_id"], r["dist"]) for r in au.collect()}
+    assert a == d
