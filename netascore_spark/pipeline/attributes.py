@@ -102,7 +102,10 @@ def node_elevation(nodes: DataFrame, dem: DataFrame, dem_cell: float = DEM_CELL)
     n = nodes.withColumn(
         "cell_x", F.floor(F.col("x") / F.lit(dem_cell)).cast("long")
     ).withColumn("cell_y", F.floor(F.col("y") / F.lit(dem_cell)).cast("long"))
-    return n.join(F.broadcast(dem), ["cell_x", "cell_y"], "left").select(
+    # no broadcast HINT: a regional DEM auto-broadcasts under the 64 MB
+    # threshold, a continent-scale one must shuffle-join (hinting it would
+    # OOM executors at 100 TB)
+    return n.join(dem, ["cell_x", "cell_y"], "left").select(
         "node_id", F.round(F.col("elevation"), 2).alias("elevation")
     )
 
@@ -285,6 +288,7 @@ def build_attributes(
     osm_line: DataFrame | None = None,
     layers: dict[str, DataFrame] | None = None,
     cell_size: float = 200.0,
+    dem_cell: float = DEM_CELL,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (network_edge_attributes, network_node_attributes)."""
     layers = layers or {}
@@ -306,7 +310,7 @@ def build_attributes(
 
     # elevation / gradient
     if "dem" in layers:
-        node_attrs = node_elevation(nodes, layers["dem"])
+        node_attrs = node_elevation(nodes, layers["dem"], dem_cell)
         grad = gradient(edges, node_attrs, attrs)
         attrs = attrs.join(grad, "edge_id", "left").withColumns(
             {

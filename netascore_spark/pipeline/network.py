@@ -107,7 +107,10 @@ def intersections(lp: DataFrame, cell_size: float) -> DataFrame:
         "osm_id", "bridge", "tunnel", "escalator", "indoor", "layer_arr",
         "raw_layer", "x0", "y0", "x1", "y1",
     ]
-    lc = spatial.with_cells(lp.select(*attrs, "geom"), "geom", cell_size)
+    # persist the exploded cover: both join sides project from it, and
+    # without a materialization the cover UDF would run twice over every way
+    # (aliased projections defeat ReuseExchange)
+    lc = spatial.with_cells(lp.select(*attrs, "geom"), "geom", cell_size).persist()
     a = lc.select(
         F.col("cell"), *[F.col(c).alias(f"{c}_1") for c in attrs], F.col("geom").alias("geom_1")
     )
@@ -454,11 +457,8 @@ def build_network(
     # over the split result — don't recompute the O(n^2) intersection work
     corrected = split_edges(init, targets).persist()
     if scalable_ids is None:
-        # bounded count: materializes the persist anyway (the fixpoint's
-        # collect comes next), stops scanning at the threshold
-        n_bounded = corrected.select("osm_id").limit(
-            SCALABLE_IDS_THRESHOLD + 1
-        ).count()
-        scalable_ids = n_bounded > SCALABLE_IDS_THRESHOLD
+        # one full count: materializes the persist in a single job (the
+        # fixpoint's collect and the id stages all reuse the cache)
+        scalable_ids = corrected.count() > SCALABLE_IDS_THRESHOLD
     corrected = drop_dangling_indoor(corrected, cell_size)
     return finalize_network(corrected, scalable_ids)

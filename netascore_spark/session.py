@@ -35,6 +35,18 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan the output partitioning of persisted plans: a
+        # cached table otherwise pins its pre-AQE shuffle layout, so every
+        # downstream pandas-UDF pass over a small cache pays full
+        # shuffle.partitions x per-task Python overhead (size-based
+        # coalescing keeps big caches many-partitioned at scale)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # SIZE-based shuffle coalescing (not parallelism-first): tiny
+        # shuffles collapse to one task instead of shuffle.partitions
+        # Python-UDF launches; big shuffles still split by size.  16 MB
+        # advisory keeps mid-size stages wider than core count.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

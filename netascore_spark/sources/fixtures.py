@@ -436,3 +436,149 @@ def pages_pandas(n: int, seed: int = SEED) -> pd.DataFrame:
 
 def pages(spark: SparkSession, n: int = 2000, seed: int = SEED) -> DataFrame:
     return spark.createDataFrame(pages_pandas(n, seed), _PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# matched-scale layers (BASELINE.md parity bench): density per edge tracks
+# the reference's Austria run (~0.5 buildings/edge, ~0.25 green polys/edge,
+# facility/crossing points per block, coarse noise tiling, DEM per block)
+# ---------------------------------------------------------------------------
+
+def scaled_layers(
+    spark: SparkSession, scale: int, dem_cell: float = 100.0
+) -> dict[str, DataFrame]:
+    """Layer dict sized to ``osm_lines(spark, scale)``'s grid-city extent.
+
+    Unlike the pinned-distance micro layers above (which exercise exact
+    thresholds), these tile the WHOLE grid so every attribute join does
+    real work per edge — the honest input for edges/sec comparisons
+    against the reference's Austria-scale per-op timings (BASELINE.md).
+    """
+    n = 8 * scale
+    step = 100.0
+    extent = (n - 1) * step
+
+    def rect(x0, y0, x1, y1):
+        return wkb.encode(wkb.polygon([[x0, y0], [x1, y0], [x1, y1], [x0, y1]]))
+
+    # buildings: one 50x10 m block at the south side of every second
+    # horizontal street segment -> ~n^2/2 buildings (~0.5 per edge)
+    b_rows, g_rows = [], []
+    pid = 1
+    for i in range(n):
+        for j in range(0, n - 1, 2):
+            x0 = j * step + 15.0
+            y0 = i * step + 4.0
+            b_rows.append((pid, rect(x0, y0, x0 + 50.0, y0 + 10.0)))
+            pid += 1
+    # greenness: one 80x60 m park per 2x2 block (~0.25 per edge), offset so
+    # parks straddle the 30 m buffers of two streets
+    pid = 1
+    for i in range(0, n - 1, 2):
+        for j in range(1, n - 1, 2):
+            x0 = j * step + 10.0
+            y0 = i * step + 25.0
+            g_rows.append((pid, rect(x0, y0, x0 + 80.0, y0 + 60.0)))
+            pid += 1
+    poly_schema = lambda kind: T.StructType(
+        [T.StructField(f"{kind}_id", T.LongType()), T.StructField("geom", T.BinaryType())]
+    )
+    buildings = spark.createDataFrame(b_rows, poly_schema("building"))
+    greenness = spark.createDataFrame(
+        [(i, g) for i, g in g_rows], poly_schema("greenness")
+    )
+
+    # facility / crossing points: one per block, staggered 5..35 m from the
+    # nearest horizontal street (exercises both DWithin radii)
+    f_rows, c_rows = [], []
+    pid = 1
+    for i in range(n):
+        for j in range(n - 1):
+            d = [5.0, 25.0, 35.0][(i + j) % 3]
+            f_rows.append((pid, wkb.encode(wkb.point(j * step + 70.0, i * step + d))))
+            c_rows.append((pid, wkb.encode(wkb.point(j * step + 50.0, i * step + (pid % 12)))))
+            pid += 1
+    facility = spark.createDataFrame(f_rows, poly_schema("facility"))
+    crossing = spark.createDataFrame(c_rows, poly_schema("crossing"))
+
+    # noise: 400x400 m tiles with alternating dB over the whole city
+    n_rows = []
+    pid = 1
+    for i in range(0, n, 4):
+        for j in range(0, n, 4):
+            n_rows.append(
+                (
+                    pid,
+                    rect(j * step - 50, i * step - 50, j * step + 350, i * step + 350),
+                    55.0 + 15.0 * ((i + j) % 2),
+                )
+            )
+            pid += 1
+    noise = spark.createDataFrame(
+        n_rows,
+        T.StructType(
+            [
+                T.StructField("noise_id", T.LongType()),
+                T.StructField("geom", T.BinaryType()),
+                T.StructField("noise", T.DoubleType()),
+            ]
+        ),
+    )
+
+    # water: a river along every 16th row + one lake per quadrant
+    w_rows = []
+    wid = 1
+    for i in range(0, n, 16):
+        w_rows.append(
+            (
+                wid,
+                wkb.encode(
+                    ("LineString", np.array([[-20.0, i * step - 10.0], [extent + 20.0, i * step - 10.0]]))
+                ),
+                "line",
+            )
+        )
+        wid += 1
+    for qx in (0.25, 0.75):
+        for qy in (0.25, 0.75):
+            cx, cy = qx * extent, qy * extent
+            w_rows.append((wid, rect(cx, cy + 38.0, cx + 220.0, cy + 260.0), "polygon"))
+            wid += 1
+    water = spark.createDataFrame(
+        w_rows,
+        T.StructType(
+            [
+                T.StructField("water_id", T.LongType()),
+                T.StructField("geom", T.BinaryType()),
+                T.StructField("geom_type", T.StringType()),
+            ]
+        ),
+    )
+
+    # DEM: one elevation sample per dem_cell over the full extent (+margin)
+    m = int(extent / dem_cell) + 9
+    xs = np.arange(-4, m)
+    ys = np.arange(-4, m)
+    gx, gy = np.meshgrid(xs, ys)
+    x_m, y_m = gx * dem_cell, gy * dem_cell
+    elev = 400.0 + 0.02 * x_m + 180.0 * np.exp(
+        -(((x_m - 0.3 * extent) ** 2 + (y_m - 0.6 * extent) ** 2) / (2 * (0.1 * extent + 1) ** 2))
+    )
+    dem = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cell_x": gx.ravel().astype("int64"),
+                "cell_y": gy.ravel().astype("int64"),
+                "elevation": np.round(elev.ravel(), 2),
+            }
+        )
+    )
+    return {
+        "facility": facility,
+        "crossing": crossing,
+        "building": buildings,
+        "greenness": greenness,
+        "water": water,
+        "noise": noise,
+        "dem": dem,
+    }
