@@ -1119,6 +1119,46 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_sphere_tiling(spark, sf_dir):
+    """Spherical (S2-style cube-face quadtree) tile rollup over events.
+
+    lat/lng are derived deterministically from event_id (integer arithmetic,
+    identical in Spark and the SQL oracle); the cell id itself is the pure
+    JVM-side Column tree of grid_sphere.cell_col -- the tiling math is
+    hash-checked against DuckDB bit-for-bit (level 12 keeps the rollup
+    non-trivial: several events per tile)."""
+    from netascore_spark import grid_sphere as GS
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", "value",
+        ((F.col("event_id") * 7919 % 17000) / 100.0 - 85.0 + 0.0037).alias("lat"),
+        ((F.col("event_id") * 104729 % 35000) / 100.0 - 175.0 + 0.0037).alias("lng"),
+    )
+    return (
+        pts.withColumn("cell", GS.cell_col("lat", "lng", level=12))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _sphere_oracle():
+    from netascore_spark import grid_sphere as GS
+
+    cell = GS.cell_sql(
+        "((event_id * 7919 % 17000) / 100.0 - 85.0 + 0.0037)",
+        "((event_id * 104729 % 35000) / 100.0 - 175.0 + 0.0037)",
+        level=12,
+    )
+    return (
+        f"SELECT {cell} AS cell, count(*) AS n_events, "
+        "round(sum(value), 4) AS sum_value FROM events GROUP BY 1"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scoring DSL + access cascades (SQL-checked)
@@ -1149,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_dedup": q_ngram_dedup,
         "cosine_topk": q_cosine_topk,
+        "sphere_tiling": q_sphere_tiling,
         # spatial / web-scale (rows-only)
         "network_edges": q_network_edges,
         "network_nodes": q_network_nodes,
@@ -1192,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_oracle(),
         "ngram_dedup": _NGRAM_ORACLE,
         "cosine_topk": _COSINE_ORACLE,
+        "sphere_tiling": _sphere_oracle(),
         # spatial/web-scale + signature ops: rows-only (geometry kernel and
         # hash signatures are not ANSI-SQL-expressible)
     }

@@ -38,10 +38,14 @@ def main() -> None:
     import __spark_entry__ as E
 
     # constant shuffle partitions across parallelism levels: the scaling
-    # comparison must run the SAME physical plan at N and 4N cores
+    # comparison must run the SAME physical plan at N and 4N cores.
+    # SPARK_GRAFT_MASTER overrides the master, e.g. local-cluster[4,8,4096]
+    # for separate executor JVMs (the honest N->4N executor proxy).
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     spark = build_session(
-        app_name="netascore-bench", master=f"local[{cpus}]",
+        app_name="netascore-bench", master=master,
         shuffle_partitions=64,
+        extra_conf={"spark.executor.memory": "3g"} if "local-cluster" in master else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

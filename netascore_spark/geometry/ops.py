@@ -413,29 +413,36 @@ def buffer_point(p: np.ndarray, r: float, quad_segs: int = 8):
 # ---------------------------------------------------------------------------
 
 def _clip_convex(subject: np.ndarray, clip_tri: np.ndarray) -> np.ndarray:
-    """Sutherland–Hodgman: clip polygon by CCW triangle."""
+    """Sutherland–Hodgman: clip polygon by a CCW convex polygon.
+
+    Hot path (runs per (piece, triangle) in the union decomposition):
+    plain float arithmetic — np.cross/np.clip on 2-vectors cost more in
+    moveaxis/dispatch than the whole clip."""
     out = subject
     n = len(clip_tri)
     for i in range(n):
         if len(out) == 0:
             return out
-        a, b = clip_tri[i], clip_tri[(i + 1) % n]
-        edge = b - a
+        ax, ay = clip_tri[i]
+        bx, by = clip_tri[(i + 1) % n]
+        ex, ey = bx - ax, by - ay
         inp = out
-        res = []
-        d = np.cross(np.broadcast_to(edge, (len(inp), 2)), inp - a)
+        m = len(inp)
+        d = ex * (inp[:, 1] - ay) - ey * (inp[:, 0] - ax)
         inside = d >= -EPS
-        for k in range(len(inp)):
-            k2 = (k + 1) % len(inp)
+        res = []
+        for k in range(m):
+            k2 = k + 1 if k + 1 < m else 0
             if inside[k]:
                 res.append(inp[k])
             if inside[k] != inside[k2]:
                 p1, p2 = inp[k], inp[k2]
-                seg = p2 - p1
-                denom = edge[0] * seg[1] - edge[1] * seg[0]
+                sx, sy = p2[0] - p1[0], p2[1] - p1[1]
+                denom = ex * sy - ey * sx
                 if abs(denom) > EPS:
-                    t = (edge[0] * (p1[1] - a[1]) - edge[1] * (p1[0] - a[0])) / -denom
-                    res.append(p1 + np.clip(t, 0.0, 1.0) * seg)
+                    t = (ex * (p1[1] - ay) - ey * (p1[0] - ax)) / -denom
+                    t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+                    res.append((p1[0] + t * sx, p1[1] + t * sy))
         out = np.array(res) if res else np.empty((0, 2))
     return out
 
@@ -502,13 +509,20 @@ def intersection_area3(
     return max(total, 0.0)
 
 
+def _ring_closed(ring: np.ndarray) -> bool:
+    return (
+        abs(float(ring[0, 0]) - float(ring[-1, 0]))
+        + abs(float(ring[0, 1]) - float(ring[-1, 1]))
+    ) <= 1e-9
+
+
 def _ear_triangulate(ring: np.ndarray) -> list[np.ndarray]:
     """Simple closed ring -> disjoint CCW triangles covering it exactly.
 
     Standard ear clipping with collinear-vertex removal; degrades to a fan
     (exact for convex/star inputs) if numeric trouble leaves no ear.
     """
-    pts = ring[:-1] if np.allclose(ring[0], ring[-1]) else ring
+    pts = ring[:-1] if _ring_closed(ring) else ring
     pts = np.asarray(pts, dtype=float)
     if len(pts) < 3:
         return []
@@ -573,30 +587,34 @@ def _clip_halfplane(poly: np.ndarray, a: np.ndarray, edge: np.ndarray, keep_left
     direction ``edge``; keep the left (or right) side."""
     if len(poly) == 0:
         return poly
-    d = np.cross(np.broadcast_to(edge, (len(poly), 2)), poly - a)
+    ax, ay = float(a[0]), float(a[1])
+    ex, ey = float(edge[0]), float(edge[1])
+    d = ex * (poly[:, 1] - ay) - ey * (poly[:, 0] - ax)
     inside = d >= -EPS if keep_left else d <= EPS
     res = []
     n = len(poly)
     for k in range(n):
-        k2 = (k + 1) % n
+        k2 = k + 1 if k + 1 < n else 0
         if inside[k]:
             res.append(poly[k])
         if inside[k] != inside[k2]:
             p1, p2 = poly[k], poly[k2]
-            seg = p2 - p1
-            denom = edge[0] * seg[1] - edge[1] * seg[0]
+            sx, sy = p2[0] - p1[0], p2[1] - p1[1]
+            denom = ex * sy - ey * sx
             if abs(denom) > EPS:
-                t = (edge[0] * (p1[1] - a[1]) - edge[1] * (p1[0] - a[0])) / -denom
-                res.append(p1 + np.clip(t, 0.0, 1.0) * seg)
+                t = (ex * (p1[1] - ay) - ey * (p1[0] - ax)) / -denom
+                t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+                res.append((p1[0] + t * sx, p1[1] + t * sy))
     if not res:
         return np.empty((0, 2))
     out = np.array(res)
     # drop duplicate consecutive vertices (incl. wrap-around): a zero-length
     # edge downstream would make both half-plane clips keep everything
     keep = np.ones(len(out), dtype=bool)
-    for k in range(len(out)):
-        if np.abs(out[k] - out[(k + 1) % len(out)]).sum() <= EPS:
-            keep[(k + 1) % len(out)] = False
+    dup = np.abs(out[:-1] - out[1:]).sum(axis=1) <= EPS  # out[k] ~= out[k+1]
+    keep[1:][dup] = False
+    if abs(out[-1, 0] - out[0, 0]) + abs(out[-1, 1] - out[0, 1]) <= EPS:
+        keep[0] = False
     return out[keep]
 
 
@@ -671,18 +689,54 @@ def union_pieces(
     return pieces
 
 
+def _is_convex_ring(ring: np.ndarray) -> bool:
+    pts = ring[:-1] if _ring_closed(ring) else ring
+    if len(pts) < 3:
+        return False
+    v = np.diff(np.vstack([pts, pts[:1]]), axis=0)
+    cr = v[:-1, 0] * v[1:, 1] - v[:-1, 1] * v[1:, 0]
+    return bool((cr >= -EPS).all() or (cr <= EPS).all())
+
+
 def union_area_in_region(
     polys: list[list[np.ndarray]], region: list[np.ndarray]
 ) -> float:
     """ST_Area(ST_Union(poly_i ∩ region)) — the union-before-area of A3
     (osm_attributes.sql.j2:946-951).  EXACT for any overlap depth: the union
     is decomposed into disjoint convex pieces (incremental convex
-    difference), each intersected with the region."""
+    difference), each intersected with the region.
+
+    Fast path: a CONVEX hole-free region (e.g. the flat-cap buffer of a
+    single-segment edge is a rectangle) clips each union piece in one
+    Sutherland–Hodgman pass; the general path triangulates the region once
+    and sums signed clipped areas."""
     rb = region[0]
     bbox = (rb[:, 0].min(), rb[:, 1].min(), rb[:, 0].max(), rb[:, 1].max())
+    pieces = union_pieces(polys, bbox)
+    if not pieces:
+        return 0.0
     total = 0.0
-    for piece in union_pieces(polys, bbox):
-        total += intersection_area([np.vstack([piece, piece[:1]])], region)
+    if len(region) == 1 and _is_convex_ring(rb):
+        clip = rb[:-1] if _ring_closed(rb) else rb
+        if ring_signed_area(np.vstack([clip, clip[:1]])) < 0:
+            clip = clip[::-1]
+        for piece in pieces:
+            c = _clip_convex(piece, clip)
+            if len(c) >= 3:
+                total += abs(ring_signed_area(np.vstack([c, c[:1]])))
+        return max(total, 0.0)
+    # general region: triangulate ONCE (not per piece, as intersection_area
+    # would), then sum signed clipped areas per (piece, region-triangle)
+    rtris = _fan_triangles(region)
+    for piece in pieces:
+        mn, mx = piece.min(axis=0), piece.max(axis=0)
+        for t, s in rtris:
+            tn, tx = t.min(axis=0), t.max(axis=0)
+            if tn[0] > mx[0] or tx[0] < mn[0] or tn[1] > mx[1] or tx[1] < mn[1]:
+                continue
+            c = _clip_convex(piece, t)
+            if len(c) >= 3:
+                total += s * abs(ring_signed_area(np.vstack([c, c[:1]])))
     return max(total, 0.0)
 
 

@@ -158,7 +158,15 @@ def proximity_ratio(
         cell_size=cell_size,
         pad=radius, pad_side="left",
     )
-    hits = cand.filter(spatial.dwithin_udf(radius)(F.col("geom"), F.col("r_geom")))
+    # spread BY edge + cluster within partitions: the vectorized dwithin
+    # refine groups each Arrow batch by edge geometry — contiguous rows per
+    # edge mean ONE WKB decode per edge per batch instead of one per row.
+    # The keyed repartition also doubles as the downstream groupBy exchange.
+    hits = (
+        spatial.spread(cand, "edge_id")
+        .sortWithinPartitions("edge_id")
+        .filter(spatial.dwithin_udf(radius)(F.col("geom"), F.col("r_geom")))
+    )
     counts = hits.groupBy("edge_id").agg(F.count("*").alias("cnt"))
     return counts.join(edges.select("edge_id", "length"), "edge_id").select(
         "edge_id",
@@ -199,21 +207,59 @@ def buffer_overlay_ratio(
         cell_size=cell_size,
     )
 
-    def union_ratio(pdf: pd.DataFrame) -> pd.DataFrame:
-        buf = wkb.decode(bytes(pdf["geom"].iloc[0]))[1]
-        buffer_area = ops.polygon_area(buf)
-        pieces = [wkb.decode(bytes(g))[1] for g in pdf["r_geom"]]
-        ua = ops.union_area_in_region(pieces, buf)
-        if ua <= 0:
-            return pd.DataFrame(columns=["edge_id", "ratio"]).astype(
-                {"edge_id": "int64", "ratio": "float64"}
-            )
-        ratio = min(ua / buffer_area * 100.0, 100.0)
-        return pd.DataFrame({"edge_id": [pdf["edge_id"].iloc[0]], "ratio": [ratio]})
+    def union_ratios(batches):
+        """mapInPandas with group carry-over: rows arrive hash-partitioned
+        and sorted by edge_id, so a group is contiguous; the tail group of
+        each Arrow batch is carried into the next (it may be split across
+        batches).  Avoids applyInPandas' per-group Arrow round-trip (50k
+        groups -> 50k tiny pandas frames), and caches polygon decodes —
+        the same building appears in many neighbouring edge buffers."""
+        poly_cache: dict[bytes, list] = {}
 
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids, ratios = [], []
+            for eid, grp in pdf.groupby("edge_id", sort=False):
+                buf = wkb.decode(bytes(grp["geom"].iloc[0]))[1]
+                buffer_area = ops.polygon_area(buf)
+                pieces = []
+                for g in grp["r_geom"]:
+                    gb = bytes(g)
+                    rings = poly_cache.get(gb)
+                    if rings is None:
+                        rings = wkb.decode(gb)[1]
+                        if len(poly_cache) > 4096:
+                            poly_cache.clear()
+                        poly_cache[gb] = rings
+                    pieces.append(rings)
+                ua = ops.union_area_in_region(pieces, buf)
+                if ua > 0:
+                    ids.append(int(eid))
+                    ratios.append(min(ua / buffer_area * 100.0, 100.0))
+            return pd.DataFrame({"edge_id": pd.Series(ids, dtype="int64"),
+                                 "ratio": pd.Series(ratios, dtype="float64")})
+
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf["edge_id"].iloc[-1]
+            tail = pdf["edge_id"] == last
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield emit(body)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    # repartition BY KEY + sort: contiguous complete groups per partition,
+    # full parallelism for the per-edge union python work
     return (
-        cand.groupBy("edge_id")
-        .applyInPandas(union_ratio, schema=_UNION_RATIO_TYPE)
+        spatial.spread(cand, "edge_id")
+        .sortWithinPartitions("edge_id")
+        .select("edge_id", "geom", "r_geom")
+        .mapInPandas(union_ratios, schema=_UNION_RATIO_TYPE)
         .withColumn("ratio", F.round(F.col("ratio"), 2))
     )
 
@@ -234,7 +280,7 @@ def water_flag(edges: DataFrame, water: DataFrame, cell_size: float) -> DataFram
         cell_size=cell_size, extra_left=["length"],
     )
     line_hits = (
-        lc.withColumn(
+        spatial.spread(lc).withColumn(
             "ilen", spatial.intersection_length_udf()(F.col("r_geom"), F.col("geom"))
         )
         .filter((F.col("ilen") / F.col("length")).between(0.8, 1.6))
@@ -244,9 +290,12 @@ def water_flag(edges: DataFrame, water: DataFrame, cell_size: float) -> DataFram
         buffers, polys.select("water_id", "geom"), "edge_id", "water_id",
         cell_size=cell_size,
     )
-    poly_hits = pc.filter(
-        spatial.intersects_udf()(F.col("geom"), F.col("r_geom"))
-    ).select("edge_id")
+    poly_hits = (
+        spatial.spread(pc)
+        .withColumn("__ix", spatial.intersects_udf()(F.col("geom"), F.col("r_geom")))
+        .filter(F.col("__ix"))  # withColumn keeps the UDF above the exchange
+        .select("edge_id")
+    )
     return line_hits.unionByName(poly_hits).distinct()
 
 
@@ -257,7 +306,7 @@ def noise_sum(edges: DataFrame, noise: DataFrame, cell_size: float) -> DataFrame
         "edge_id", "noise_id",
         cell_size=cell_size, extra_left=["length"], extra_right=["noise"],
     )
-    pieces = cand.withColumn(
+    pieces = spatial.spread(cand).withColumn(
         "ilen", spatial.intersection_length_udf()(F.col("geom"), F.col("r_geom"))
     ).filter(F.col("ilen") > 0)
     return pieces.groupBy("edge_id").agg(

@@ -134,7 +134,9 @@ def intersections(lp: DataFrame, cell_size: float) -> DataFrame:
                 )
             )
     pairs = pairs.dropDuplicates(["osm_id_1", "osm_id_2"])
-    pts = pairs.withColumn(
+    # spread: exact line-x-line intersection is python CPU; byte-based AQE
+    # coalescing would run it on 1-2 tasks (see operators.spatial.spread)
+    pts = spatial.spread(pairs).withColumn(
         "ipoints", _intersection_points(F.col("geom_1"), F.col("geom_2"))
     ).drop("geom_1", "geom_2")
     exploded = pts.select("*", F.explode("ipoints").alias("ipt")).drop("ipoints")
@@ -265,7 +267,7 @@ def split_edges(net_init: DataFrame, targets: DataFrame) -> DataFrame:
     anti-join pair — halves the probe passes over the (big) edge side.
     """
     passthrough = [c for c in net_init.columns if c != "geom"]
-    joined = net_init.join(targets, "osm_id", "left")
+    joined = spatial.spread(net_init.join(targets, "osm_id", "left"))
     split = joined.withColumn(
         "pieces", _split_pieces(F.col("geom"), F.col("split_points"))
     ).drop("geom", "split_points")
@@ -409,6 +411,10 @@ def finalize_network(
         F.round(F.col("__e.x1"), NODE_DECIMALS).alias("tx"),
         F.round(F.col("__e.y1"), NODE_DECIMALS).alias("ty"),
     ).drop("__e")
+    # persist: the node-dedup, the node id sampling and the final from/to
+    # joins each scan this — without a cache the endpoint UDF (WKB decode
+    # over every edge) re-runs 3-4x
+    edges = edges.persist()
 
     nodes = (
         edges.select(F.col("fx").alias("x"), F.col("fy").alias("y"))

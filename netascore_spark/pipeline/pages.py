@@ -123,8 +123,14 @@ def join_polygons(
             out[i] = ops.point_in_polygon(np.array([px, py]), rings)
         return pd.Series(out)
 
-    return cand.filter(pip(F.col("x"), F.col("y"), F.col("geom"))).select(
-        "url", "polygon_id", "kind"
+    # spread + nondeterministic refine: keeps the (python) PIP refine at full
+    # parallelism — byte-based AQE coalescing under-provisions UDF stages,
+    # and a deterministic UDF predicate would be pushed (and DUPLICATED)
+    # below the repartition
+    return (
+        spatial.spread(cand)
+        .filter(pip.asNondeterministic()(F.col("x"), F.col("y"), F.col("geom")))
+        .select("url", "polygon_id", "kind")
     )
 
 

@@ -21,7 +21,7 @@ import subprocess
 import sys
 
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
+def run_bench(cpus: int, sf_dir: str, master: str | None = None) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -30,6 +30,8 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         # stage-scheduling overhead so the ratio reflects the engine
         SPARK_GRAFT_PAGES=os.environ.get("SPARK_GRAFT_PAGES", "600000"),
     )
+    if master:
+        env["SPARK_GRAFT_MASTER"] = master
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
         timeout=3600,
@@ -43,6 +45,12 @@ def main():
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     results = {c: run_bench(c, sf_dir) for c in (2, 8, 32)}
+    # multi-JVM pair: 2 executors x 4 cores -> 8 executors x 4 cores.  Each
+    # executor is its OWN JVM with its own heap and python worker pool — the
+    # closest sandbox analog of adding executors to a cluster (the single-JVM
+    # local[n] pairs share one heap and one memory-bandwidth budget).
+    results["lc8"] = run_bench(8, sf_dir, master="local-cluster[2,4,3072]")
+    results["lc32"] = run_bench(32, sf_dir, master="local-cluster[8,4,3072]")
 
     def pair_rows(n, n4):
         a, b = results[n], results[n4]
@@ -79,6 +87,13 @@ shuffle partitions = identical physical plans).
 | Metric | local[8] | local[32] | speedup (x) | efficiency (speedup/4) |
 |---|---|---|---|---|
 {pair_rows(8, 32)}
+
+## N=8 -> 4N=32 with SEPARATE EXECUTOR JVMS (local-cluster, the honest
+## two-cluster-size analog: 2x4 -> 8x4 executors, own heaps + python pools)
+
+| Metric | local-cluster[2,4] | local-cluster[8,4] | speedup (x) | efficiency (speedup/4) |
+|---|---|---|---|---|
+{pair_rows("lc8", "lc32")}
 
 Inputs: {r['n_pages']} pages, {r['n_edges']} network edges, sf={r['sf']}.
 
