@@ -1159,6 +1159,36 @@ def _sphere_oracle():
     )
 
 
+def q_image_decode(spark, sf_dir):
+    """REAL PNG pixel decode (pure-python zlib codec) + resize over
+    mapInPandas — netascore_spark/operators/multimodal.py:decode_image."""
+    from netascore_spark.operators.multimodal import decode_image, synthetic_media
+
+    return decode_image(synthetic_media(spark, n=200), (4, 4)).select(
+        "media_id", "width", "height", "channels", "mean_luma"
+    )
+
+
+def q_audio_decode(spark, sf_dir):
+    """REAL 16-bit PCM WAV decode + spectral features —
+    netascore_spark/operators/multimodal.py:decode_audio."""
+    from netascore_spark.operators.multimodal import decode_audio, synthetic_media
+
+    return decode_audio(synthetic_media(spark, n=200)).select(
+        "media_id", "sample_rate", "duration_ms", "rms", "zero_crossings"
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    """Every-Nth-frame sampling over the PNG-frame container (skipped
+    frames never decoded) — multimodal.py:sample_frames."""
+    from netascore_spark.operators.multimodal import sample_frames, synthetic_media
+
+    return sample_frames(synthetic_media(spark, n=200), every_n=3).select(
+        "media_id", "frame_idx", "mean_luma"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scoring DSL + access cascades (SQL-checked)
@@ -1204,6 +1234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_features": q_multimodal_features,
+        "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
+        "frame_sample": q_frame_sample,
     }
 
 

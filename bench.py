@@ -26,7 +26,12 @@ def main() -> None:
     # SPARK_GRAFT_PAGES overrides (the scaling harness uses a larger input
     # so fixed stage overhead doesn't dominate the measurement)
     n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", 0)) or max(int(2_000_000 * sf), 2000)
-    osm_scale = {0.001: 2, 0.01: 3, 0.1: 6}.get(sf, max(2, int(60 * sf)))
+    # sf0.1 default runs the MATCHED-scale network (~100k edges, scale 28) so
+    # edges/sec is comparable to the reference's Austria-scale per-op table
+    # (BASELINE.md); SPARK_GRAFT_OSM_SCALE overrides.
+    osm_scale = int(os.environ.get("SPARK_GRAFT_OSM_SCALE", 0)) or {
+        0.001: 2, 0.01: 3, 0.1: 28,
+    }.get(sf, max(2, int(60 * sf)))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from netascore_spark.session import build_session
@@ -61,7 +66,8 @@ def main() -> None:
     osm = fixtures.osm_lines(spark, scale=osm_scale)
 
     def build_net():
-        e, n = N.build_network(osm)
+        # matched scale exercises the two-phase scalable id path explicitly
+        e, n = N.build_network(osm, scalable_ids=True if osm_scale >= 10 else None)
         # localCheckpoint truncates lineage: downstream plan analysis stays
         # O(attribute plan), not O(whole network build plan)
         return e.localCheckpoint(), n.localCheckpoint()
@@ -75,20 +81,26 @@ def main() -> None:
 
     n_edges = timed("network_build", _run)
 
-    layers = {
-        "facility": fixtures.layer_points(spark, "facility"),
-        "crossing": fixtures.layer_points(spark, "crossing"),
-        "building": fixtures.layer_polygons(spark, "building"),
-        "greenness": fixtures.layer_polygons(spark, "greenness"),
-        "water": fixtures.water_layer(spark),
-        "noise": fixtures.noise_layer(spark),
-        "dem": fixtures.dem_grid(spark),
-    }
+    if osm_scale >= 10:
+        # matched scale: layer density proportional to the network
+        layers = fixtures.scaled_layers(spark, osm_scale, dem_cell=100.0)
+        dem_cell = 100.0
+    else:
+        layers = {
+            "facility": fixtures.layer_points(spark, "facility"),
+            "crossing": fixtures.layer_points(spark, "crossing"),
+            "building": fixtures.layer_polygons(spark, "building"),
+            "greenness": fixtures.layer_polygons(spark, "greenness"),
+            "water": fixtures.water_layer(spark),
+            "noise": fixtures.noise_layer(spark),
+            "dem": fixtures.dem_grid(spark),
+        }
+        dem_cell = 10.0
     bike = Profile.from_yaml("profiles/profile_bike.yml", "bike")
     walk = Profile.from_yaml("profiles/profile_walk.yml", "walk")
 
     def run_attrs():
-        attrs, _ = ATTR.build_attributes(edges, nodes, osm, layers)
+        attrs, _ = ATTR.build_attributes(edges, nodes, osm, layers, dem_cell=dem_cell)
         attrs = attrs.localCheckpoint()
         scored = attach_index(attach_index(attrs, bike), walk)
         return scored.count()

@@ -1,11 +1,19 @@
-"""Multimodal column plumbing: opaque binary media + typed metadata.
+"""Multimodal columns: opaque binary media + typed metadata, with REAL
+decode paths.
 
-Images/audio/video travel as ``binary`` columns with a metadata struct.  The
-Spark-side plumbing (schema, partitioning, Arrow batch shape, mapInPandas
-signature) is real and tested; the codec-dependent decode steps are STUBBED
-behind ``NotImplementedError`` because no image/audio library ships in this
-container — the batch iteration, feature schema and downstream joins run
-against the deterministic byte-level features instead.
+Images/audio/video travel as ``binary`` columns with a metadata struct, and
+every step is Arrow-batched mapInPandas:
+
+- :func:`extract_features` — byte-level histogram/entropy (format-agnostic);
+- :func:`decode_image` — real PNG pixel decode (pure-python zlib codec,
+  operators/codecs.py) + nearest-neighbour resize; PIL fallback for other
+  formats when importable;
+- :func:`decode_audio` — real 16-bit PCM WAV decode + rms/zero-crossing/
+  spectrum features;
+- :func:`sample_frames` — every-Nth-frame sampling over the NSF1 PNG-frame
+  container WITHOUT decoding skipped frames.  Standard video codecs
+  (H.264/VP9) genuinely require ffmpeg/pyav and raise a clear error when
+  absent.
 """
 
 from __future__ import annotations
@@ -87,35 +95,197 @@ def extract_features(media: DataFrame, buckets: int = 16) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def decode_image(media: DataFrame, target_size: tuple[int, int] = (224, 224)) -> DataFrame:
-    """STUB — pixel decode requires an image codec not present in this
-    container.  The Spark plumbing (signature, schema) is the real design;
-    swap the body for PIL/libjpeg on a real cluster."""
-    raise NotImplementedError(
-        "image decode requires an image codec (PIL/opencv); not available "
-        "in this container — use extract_features for byte-level features"
-    )
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("thumbnail", T.ArrayType(T.FloatType())),  # resized, gray
+    ]
+)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """STUB — video frame sampling requires a video codec (see decode_image)."""
-    raise NotImplementedError(
-        "video frame sampling requires a codec; not available in this container"
-    )
+def decode_image(media: DataFrame, target_size: tuple[int, int] = (16, 16)) -> DataFrame:
+    """REAL pixel decode for PNG payloads (pure-python zlib codec,
+    operators/codecs.py); other formats fall back to PIL when importable,
+    else raise with a clear message.  Emits per-image dimensions, mean luma
+    and a nearest-neighbour-resized grayscale thumbnail — the decode /
+    feature-extract / resize pipeline of a training-data job, Arrow-batched
+    over mapInPandas."""
+    from netascore_spark.operators import codecs
+
+    th, tw = target_size
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["media_type"] == "image"]
+            ids, ws, hs, chs, lumas, thumbs = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                try:
+                    arr = codecs.decode_png(b)
+                except ValueError:
+                    try:  # pragma: no cover - PIL absent in this container
+                        import io
+
+                        from PIL import Image
+
+                        arr = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+                    except ImportError as exc:
+                        raise NotImplementedError(
+                            "non-PNG image decode needs PIL/opencv (not in "
+                            "this container); PNG decodes natively"
+                        ) from exc
+                gray = arr[:, :, :3].mean(axis=2) if arr.shape[2] >= 3 else arr[:, :, 0].astype(float)
+                thumb = codecs.resize_nearest(gray, (th, tw))
+                ids.append(int(mid))
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                chs.append(arr.shape[2])
+                lumas.append(round(float(gray.mean()), 4))
+                thumbs.append([float(v) for v in thumb.ravel()])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "mean_luma": pd.Series(lumas, dtype="float64"),
+                    "thumbnail": thumbs,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=IMAGE_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("spectrum", T.ArrayType(T.DoubleType())),  # 16-bin |rfft|
+    ]
+)
+
+
+def decode_audio(media: DataFrame, spectrum_bins: int = 16) -> DataFrame:
+    """REAL WAV-PCM decode (stdlib struct codec) -> per-clip sample stats +
+    a coarse magnitude spectrum (numpy rfft, binned)."""
+    from netascore_spark.operators import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["media_type"] == "audio"]
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = codecs.decode_wav(bytes(payload))
+                mono = samples.mean(axis=1)
+                mag = np.abs(np.fft.rfft(mono))
+                bins = np.array_split(mag, spectrum_bins)
+                spec = [round(float(b.mean()), 6) if len(b) else 0.0 for b in bins]
+                rows.append(
+                    (
+                        int(mid), int(rate), len(mono),
+                        int(len(mono) * 1000 / rate),
+                        round(float(np.sqrt((mono ** 2).mean())), 6),
+                        int((np.diff(np.signbit(mono)) != 0).sum()),
+                        spec,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_ms",
+                    "rms", "zero_crossings", "spectrum",
+                ],
+            ).astype({"media_id": "int64", "sample_rate": "int32",
+                      "n_samples": "int64", "duration_ms": "int64"})
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("thumbnail", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 5, target_size: tuple[int, int] = (8, 8)
+) -> DataFrame:
+    """Frame sampling over the NSF1 PNG-frame container (codecs.iter_frames
+    skips payloads without decoding — the 'keyframe-only read' shape).
+    Standard video codecs (H.264/VP9) genuinely need ffmpeg/pyav; with
+    neither importable this handles the container format only and raises a
+    clear error for others."""
+    from netascore_spark.operators import codecs
+
+    th, tw = target_size
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["media_type"] == "video"]
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx, png in codecs.iter_frames(b):
+                    if idx % every_n:
+                        continue  # skipped frames are never decoded
+                    arr = codecs.decode_png(png)
+                    gray = (
+                        arr[:, :, :3].mean(axis=2)
+                        if arr.shape[2] >= 3 else arr[:, :, 0].astype(float)
+                    )
+                    thumb = codecs.resize_nearest(gray, (th, tw))
+                    rows.append(
+                        (int(mid), int(idx), round(float(gray.mean()), 4),
+                         [float(v) for v in thumb.ravel()])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "mean_luma", "thumbnail"]
+            ).astype({"media_id": "int64", "frame_idx": "int32"})
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic media table with REAL payloads: PNG images, 16-bit PCM
+    WAVs, NSF1 PNG-frame videos (all generated by operators/codecs.py)."""
+    from netascore_spark.operators import codecs
+
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
         mtype = ["image", "audio", "video"][i % 3]
-        size = int(rng.randint(100, 2000))
-        payload = bytes(rng.randint(0, 256, size=size, dtype=np.int32).astype(np.uint8))
-        meta = (
-            (64, 64, None, "image/png") if mtype == "image"
-            else (None, None, int(rng.randint(1000, 60000)), "audio/ogg") if mtype == "audio"
-            else (320, 240, int(rng.randint(1000, 60000)), "video/mp4")
-        )
+        if mtype == "image":
+            w, h = int(rng.randint(8, 48)), int(rng.randint(8, 48))
+            arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.int32).astype(np.uint8)
+            payload = codecs.encode_png(arr)
+            meta = (w, h, None, "image/png")
+        elif mtype == "audio":
+            rate = 8000
+            dur = int(rng.randint(100, 800))  # ms
+            t = np.arange(int(rate * dur / 1000)) / rate
+            freq = float(rng.randint(100, 1500))
+            samples = 0.5 * np.sin(2 * np.pi * freq * t)
+            payload = codecs.encode_wav(samples, rate)
+            meta = (None, None, dur, "audio/wav")
+        else:
+            nf = int(rng.randint(4, 12))
+            frames = [
+                rng.randint(0, 256, size=(12, 16, 3), dtype=np.int32).astype(np.uint8)
+                for _ in range(nf)
+            ]
+            payload = codecs.encode_frames(frames)
+            meta = (16, 12, nf * 40, "video/x-nsf1")
         rows.append((i, mtype, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
