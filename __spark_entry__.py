@@ -1189,6 +1189,68 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+# deterministic planar coordinates from event_id (integer arithmetic —
+# identical in Spark and the DuckDB oracles below)
+_PT_X = "(event_id * 48271 % 10000) / 10.0"
+_PT_Y = "(event_id * 69621 % 10000) / 10.0"
+
+
+def q_grid_tiling(spark, sf_dir):
+    """Planar cell-grid tile rollup (grid.py id packing as pure JVM
+    arithmetic) — the projected-plane twin of sphere_tiling."""
+    from netascore_spark import grid
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", "value",
+        (F.col("event_id") * 48271 % 10000 / 10.0).alias("x"),
+        (F.col("event_id") * 69621 % 10000 / 10.0).alias("y"),
+    )
+    ix = F.floor(F.col("x") / F.lit(200.0)).cast("long")
+    iy = F.floor(F.col("y") / F.lit(200.0)).cast("long")
+    cell = F.shiftleft(ix + F.lit(grid._B), grid._SHIFT).bitwiseOR(iy + F.lit(grid._B))
+    return (
+        pts.withColumn("cell", cell)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+_GRID_ORACLE = f"""
+SELECT (CAST(floor({_PT_X} / 200.0) AS BIGINT) + 1048576) * 2097152
+       + (CAST(floor({_PT_Y} / 200.0) AS BIGINT) + 1048576) AS cell,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_dwithin_join(spark, sf_dir):
+    """Distributed DWithin self-join via the cell-grid pattern, ZERO python
+    (operators/spatial.dwithin_points_native) — hash-checked against the
+    DuckDB brute-force O(n^2) oracle."""
+    from netascore_spark.operators.spatial import dwithin_points_native
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        (F.col("event_id") * 48271 % 10000 / 10.0).alias("x"),
+        (F.col("event_id") * 69621 % 10000 / 10.0).alias("y"),
+    )
+    return dwithin_points_native(pts, radius=60.0, cell_size=60.0)
+
+
+_DWITHIN_ORACLE = f"""
+WITH pts AS (
+    SELECT event_id AS id, {_PT_X} AS x, {_PT_Y} AS y
+    FROM events WHERE event_id < 2000
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 3600.0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scoring DSL + access cascades (SQL-checked)
@@ -1220,6 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dedup": q_ngram_dedup,
         "cosine_topk": q_cosine_topk,
         "sphere_tiling": q_sphere_tiling,
+        "grid_tiling": q_grid_tiling,
+        "dwithin_join": q_dwithin_join,
         # spatial / web-scale (rows-only)
         "network_edges": q_network_edges,
         "network_nodes": q_network_nodes,
@@ -1267,6 +1331,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_dedup": _NGRAM_ORACLE,
         "cosine_topk": _COSINE_ORACLE,
         "sphere_tiling": _sphere_oracle(),
+        "grid_tiling": _GRID_ORACLE,
+        "dwithin_join": _DWITHIN_ORACLE,
         # spatial/web-scale + signature ops: rows-only (geometry kernel and
         # hash signatures are not ANSI-SQL-expressible)
     }
