@@ -152,7 +152,7 @@ def nearest_edges(
     radius: float = 500.0,
     cell_size: float = grid.DEFAULT_CELL_SIZE,
     salt_threshold: int | None = None,
-    progressive: bool = False,
+    progressive: bool = True,
     geom_strategy: str = "join",
 ) -> DataFrame:
     """(url, edge_id, dist, rank<=k) for edges within ``radius``.
@@ -168,14 +168,15 @@ def nearest_edges(
       above ``BROADCAST_MAX_EDGES``).
     - ``"auto"``: bounded count, broadcast iff <= ``BROADCAST_MAX_EDGES``.
 
-    ``progressive=True`` enables two-phase cell-ring expansion: phase 1
-    searches a small padded cover (``cell_size/2``); a page is FINAL when
-    its k-th best distance <= that pad (its cell is inside every nearer
-    edge's padded cover, so no closer edge can exist outside).  Only
-    unresolved pages rejoin against the full ``radius`` cover.  Verified
-    result-identical to the flat search; worth it when the candidate
-    multiplier (edges within radius) is large — at the measured fixture
-    density the flat single-pass plan is faster, so flat is the default.
+    ``progressive=True`` (the DEFAULT) is two-phase cell-ring expansion:
+    phase 1 searches a small padded cover (``cell_size/2``); a page is
+    FINAL when its k-th best distance <= that pad (its cell is inside every
+    nearer edge's padded cover, so no closer edge can exist outside).  Only
+    unresolved pages rejoin against the full ``radius`` cover.  Pinned
+    result-identical to the flat search (tests/test_pages.py); at realistic
+    urban edge density the flat plan explodes to ~400 candidates per page
+    (radius 500 m) while phase 1 needs ~50 — measured 7x faster at 100k
+    edges / 600k pages.
     """
     if progressive and radius > cell_size:
         p1 = cell_size / 2.0
@@ -199,8 +200,11 @@ def nearest_edges(
     # same cell-ring guarantee at a fraction of the shuffled rows (pages are
     # the 10^12 side at scale).
     pg = pages_geo.filter(F.col("x").isNotNull()).select("url", "x", "y", "cell")
+    # spread BEFORE the cover explode: the edge table often arrives as a
+    # 1-3 partition cache (byte-coalesced), which would run the padded-cover
+    # UDF serially — a fixed serial cost that caps scaling of the whole kNN
     ec = spatial.with_cells(
-        edges.select("edge_id", "geom"), "geom", cell_size, pad=radius
+        spatial.spread(edges.select("edge_id", "geom")), "geom", cell_size, pad=radius
     ).select("cell", "edge_id")  # geometry re-attached after the cell join
 
     if geom_strategy == "auto":

@@ -25,6 +25,13 @@ def build_session(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    # executor python workers must be able to import this package: in
+    # local-cluster / standalone mode they run in separate JVM work dirs
+    # (a real deployment ships a wheel via --py-files; here PYTHONPATH)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exec_pythonpath = ":".join(
+        p for p in [repo_root, os.environ.get("PYTHONPATH", "")] if p
+    )
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     )
@@ -53,6 +60,7 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.PYTHONPATH", exec_pythonpath)
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -112,3 +112,13 @@ def test_nearest_edges_join_equals_broadcast(spark, pages_extracted):
     )
     d = {(r["url"], r["rank"]): (r["edge_id"], r["dist"]) for r in au.collect()}
     assert a == d
+
+
+def test_nearest_edges_progressive_equals_flat(spark, pages_extracted):
+    osm = fixtures.osm_lines(spark, scale=1)
+    edges, _ = N.build_network(osm)
+    prog = P.nearest_edges(pages_extracted, edges, k=3, radius=500.0, progressive=True)
+    flat = P.nearest_edges(pages_extracted, edges, k=3, radius=500.0, progressive=False)
+    a = {(r["url"], r["rank"]): (r["edge_id"], r["dist"]) for r in prog.collect()}
+    b = {(r["url"], r["rank"]): (r["edge_id"], r["dist"]) for r in flat.collect()}
+    assert a == b

@@ -44,13 +44,22 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    results = {c: run_bench(c, sf_dir) for c in (2, 8, 32)}
+    results = {}
+
+    def leg(key, cpus, master=None):
+        results[key] = run_bench(cpus, sf_dir, master)
+        with open(f"BENCH_local{key}.json", "w") as fh:  # crash-safe: per leg
+            json.dump(results[key], fh, indent=1)
+        print(f"leg {key} done: {results[key]['value']}s", file=sys.stderr)
+
+    for c in (2, 8, 32):
+        leg(c, c)
     # multi-JVM pair: 2 executors x 4 cores -> 8 executors x 4 cores.  Each
     # executor is its OWN JVM with its own heap and python worker pool — the
     # closest sandbox analog of adding executors to a cluster (the single-JVM
     # local[n] pairs share one heap and one memory-bandwidth budget).
-    results["lc8"] = run_bench(8, sf_dir, master="local-cluster[2,4,3072]")
-    results["lc32"] = run_bench(32, sf_dir, master="local-cluster[8,4,3072]")
+    leg("lc8", 8, "local-cluster[2,4,3072]")
+    leg("lc32", 32, "local-cluster[8,4,3072]")
 
     def pair_rows(n, n4):
         a, b = results[n], results[n4]
