@@ -119,16 +119,14 @@ Per-query seconds:
 
     md += """
 Notes:
-- A single-JVM `local[n]` shares one memory-bandwidth budget, one driver,
-  one shuffle disk and one Python worker pool across all "executors"; the
-  kNN distance stage is DRAM-bound, so beyond ~8 cores on this box extra
-  threads add little (a real 4N-executor cluster adds bandwidth and heaps
-  linearly).  The 2->8 pair is therefore the honest proxy for the engine's
-  N->4N executor scaling; the 8->32 pair documents the hardware ceiling.
-- Fixed driver-side costs (fixture synthesis, plan analysis, stage
-  scheduling of the ~40-stage network build) are constant across levels and
-  dilute measured efficiency at this small scale.
-- raw JSON: BENCH_local{2,8,32}.json.
+- A single-JVM `local[n]` shares one memory-bandwidth budget across all
+  "executors", and local-cluster multiplies JVM+python overhead on the same
+  silicon — both 8->32 pairs measure the BOX's memory ceiling, not the
+  engine.  The under-subscribed 2->8 pair is the honest proxy for cluster
+  N->4N scaling (a real scale-up adds DRAM channels/disks/NICs with cores).
+- Run tools/bench_md_appendix.py afterwards to append the matched-scale
+  per-op ratio table (BENCH_matched.json) and keep the Analysis section.
+- raw JSON: BENCH_local{2,8,32,lc8,lc32}.json.
 """
     with open("BENCH.md", "w") as fh:
         fh.write(md)
