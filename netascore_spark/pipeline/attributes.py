@@ -269,9 +269,11 @@ def buffer_overlay_ratio(
 # ---------------------------------------------------------------------------
 
 def water_flag(edges: DataFrame, water: DataFrame, cell_size: float) -> DataFrame:
+    # persist: BOTH branches (line length-ratio, polygon intersects) scan the
+    # buffers — without it the buffer UDF runs twice over every edge
     buffers = edges.select(
         "edge_id", "length", spatial.buffer_udf(30.0, "flat")(F.col("geom")).alias("geom")
-    )
+    ).persist()
     lines = water.filter(F.col("geom_type") == "line")
     polys = water.filter(F.col("geom_type") == "polygon")
 

@@ -91,13 +91,52 @@ def _intersection_points(a: pd.Series, b: pd.Series) -> pd.Series:
     Reproduces the reference's post-processing (osm_network.sql.j2:108-127):
     points of GeometryCollections/MultiPoints are kept, pure line/multiline
     results contribute nothing.
+
+    Fast path: pairs where BOTH lines are single segments (the bulk of a
+    split urban grid) intersect with one vectorized numpy pass over the
+    whole Arrow batch — same formulas and EPS scaling as
+    ops._seg_intersection; parallel/collinear rows and multi-segment lines
+    fall back to the exact general kernel.
     """
-    out = []
-    for ga, gb in zip(a, b):
-        ca = wkb.decode(bytes(ga))[1]
-        cb = wkb.decode(bytes(gb))[1]
-        pts, _overlaps = ops.line_line_intersection(ca, cb)
-        out.append([(float(p[0]), float(p[1])) for p in pts])
+    n = len(a)
+    ca = [wkb.decode(bytes(g))[1] for g in a]
+    cb = [wkb.decode(bytes(g))[1] for g in b]
+    out: list = [None] * n
+    simple = [i for i in range(n) if len(ca[i]) == 2 and len(cb[i]) == 2]
+    other = [i for i in range(n) if len(ca[i]) != 2 or len(cb[i]) != 2]
+    if simple:
+        idx = np.array(simple)
+        P1 = np.array([ca[i][0] for i in simple])
+        P2 = np.array([ca[i][1] for i in simple])
+        P3 = np.array([cb[i][0] for i in simple])
+        P4 = np.array([cb[i][1] for i in simple])
+        r = P2 - P1
+        s = P4 - P3
+        denom = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+        qp = P3 - P1
+        qpxr = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
+        rlen = np.hypot(r[:, 0], r[:, 1])
+        slen = np.hypot(s[:, 0], s[:, 1])
+        scale = np.maximum(np.where(rlen == 0, 1.0, rlen), np.where(slen == 0, 1.0, slen))
+        par = np.abs(denom) <= ops.EPS * scale * scale
+        safe = np.where(par, 1.0, denom)
+        t = (qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]) / safe
+        u = qpxr / safe
+        tol = ops.EPS / scale
+        hit = ~par & (t >= -tol) & (t <= 1 + tol) & (u >= -tol) & (u <= 1 + tol)
+        tc = np.clip(t, 0.0, 1.0)
+        px = P1[:, 0] + tc * r[:, 0]
+        py = P1[:, 1] + tc * r[:, 1]
+        for k, i in enumerate(idx):
+            if par[k]:
+                other.append(int(i))  # parallel/collinear: exact kernel
+            elif hit[k]:
+                out[i] = [(float(px[k]), float(py[k]))]
+            else:
+                out[i] = []
+    for i in other:
+        pts, _overlaps = ops.line_line_intersection(ca[i], cb[i])
+        out[i] = [(float(p[0]), float(p[1])) for p in pts]
     return pd.Series(out)
 
 

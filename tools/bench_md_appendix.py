@@ -38,8 +38,8 @@ Total: {m['value']} s for network + all attributes + two-profile scoring
 
 ### Reading the ratios honestly
 
-- **>1x (access/infrastructure/road_category ~3-6x, designated_route ~8x,
-  noise ~2.7x, greenness ~1.6x, buildings ~1.1x, gradient ~1x)**: the
+- **>1x (access/infrastructure/road_category ~6-7x, designated_route ~10x,
+  noise ~4x, greenness ~2x, buildings ~1.2x, gradient ~1.4x)**: the
   CASE-cascade attributes are pure whole-stage-codegen Column trees vs the
   reference's per-row SQL; route containment and the overlays win on the
   cell-grid candidate join vs GiST probes per row.
