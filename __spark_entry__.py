@@ -1251,6 +1251,252 @@ WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 3600.0
 """
 
 
+def q_knn_join(spark, sf_dir):
+    """Independent brute-force check of the flagship cell-ring kNN
+    (pipeline/pages.nearest_edges): points AND segments synthesized from
+    ``events`` with integer arithmetic reproducible in DuckDB, full
+    progressive two-phase search + edge_id geometry join exercised, hash-
+    compared against an O(n^2) min point-segment-distance oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from netascore_spark import grid
+    from netascore_spark.geometry import wkb as _wkb
+    from netascore_spark.pipeline.pages import nearest_edges
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_id") < 2000).select(
+        F.col("event_id").cast("string").alias("url"),
+        (F.col("event_id") * 48271 % 10000 / 10.0).alias("x"),
+        (F.col("event_id") * 69621 % 10000 / 10.0).alias("y"),
+    )
+    ix = F.floor(F.col("x") / F.lit(grid.DEFAULT_CELL_SIZE)).cast("long")
+    iy = F.floor(F.col("y") / F.lit(grid.DEFAULT_CELL_SIZE)).cast("long")
+    pts = pts.withColumn(
+        "cell", F.shiftleft(ix + F.lit(grid._B), grid._SHIFT).bitwiseOR(iy + F.lit(grid._B))
+    )
+    seg = ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 2500)).select(
+        (F.col("event_id") - 2000).alias("edge_id"),
+        (F.col("event_id") * 48271 % 10000 / 10.0).alias("x1"),
+        (F.col("event_id") * 69621 % 10000 / 10.0).alias("y1"),
+        (F.col("event_id") * 16807 % 101 - 50).cast("double").alias("dx"),
+        (F.col("event_id") * 65539 % 101 - 50).cast("double").alias("dy"),
+    ).withColumn(
+        "dx",
+        F.when((F.col("dx") == 0) & (F.col("dy") == 0), F.lit(10.0)).otherwise(F.col("dx")),
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def seg_wkb(x1, y1, dx, dy):
+        return pd.Series(
+            [
+                _wkb.encode(("LineString", np.array([[a, b], [a + c, b + d]])))
+                for a, b, c, d in zip(x1, y1, dx, dy)
+            ]
+        )
+
+    edges = seg.select("edge_id", seg_wkb("x1", "y1", "dx", "dy").alias("geom"))
+    return nearest_edges(pts, edges, k=1, radius=250.0037, geom_strategy="join", progressive=True)
+
+
+# radius 250.0037 deliberately avoids the 0.1-coordinate lattice: a clamped
+# point-endpoint distance is sqrt(multiple of 0.01), never exactly equal, so
+# the <= radius cut can't flip between fp orders.
+_KNN_ORACLE = """
+WITH pts AS (
+  SELECT CAST(event_id AS VARCHAR) AS url,
+         (event_id * 48271 % 10000) / 10.0 AS x,
+         (event_id * 69621 % 10000) / 10.0 AS y
+  FROM events WHERE event_id < 2000
+),
+eg0 AS (
+  SELECT event_id - 2000 AS edge_id,
+         (event_id * 48271 % 10000) / 10.0 AS x1,
+         (event_id * 69621 % 10000) / 10.0 AS y1,
+         CASE WHEN (event_id * 16807 % 101) - 50 = 0 AND (event_id * 65539 % 101) - 50 = 0
+              THEN 10.0 ELSE CAST((event_id * 16807 % 101) - 50 AS DOUBLE) END AS dx0,
+         CAST((event_id * 65539 % 101) - 50 AS DOUBLE) AS dy0
+  FROM events WHERE event_id >= 2000 AND event_id < 2500
+),
+eg AS (
+  -- (x1+dx0)-x1, not dx0: reproduce the fp rounding of the WKB round-trip
+  SELECT edge_id, x1, y1, (x1 + dx0) - x1 AS dx, (y1 + dy0) - y1 AS dy FROM eg0
+),
+d AS (
+  SELECT p.url, e.edge_id,
+         sqrt( (p.x - (e.x1 + t.t * e.dx)) * (p.x - (e.x1 + t.t * e.dx))
+             + (p.y - (e.y1 + t.t * e.dy)) * (p.y - (e.y1 + t.t * e.dy)) ) AS dist
+  FROM pts p
+  CROSS JOIN eg e,
+  LATERAL (SELECT greatest(0.0, least(1.0,
+      ((p.x - e.x1) * e.dx + (p.y - e.y1) * e.dy) / (e.dx * e.dx + e.dy * e.dy))) AS t) t
+)
+SELECT url, edge_id, round(dist, 6) AS dist, 1 AS rank
+FROM (SELECT url, edge_id, dist,
+             row_number() OVER (PARTITION BY url ORDER BY dist, edge_id) AS rn
+      FROM d WHERE dist <= 250.0037) q
+WHERE rn = 1
+"""
+
+
+def q_pip_join(spark, sf_dir):
+    """Independent check of the point-in-polygon cell join
+    (pipeline/pages.join_polygons): rectangle polygons synthesized from
+    ``events`` (SQL-expressible as range predicates), the real cell-cover +
+    broadcast + exact-PIP-refine machinery on the Spark side.  Rect bounds
+    sit on a 0.05-offset lattice so no point ever lands on a boundary."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from netascore_spark import grid
+    from netascore_spark.geometry import wkb as _wkb
+    from netascore_spark.pipeline.pages import join_polygons
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_id") < 2000).select(
+        F.col("event_id").cast("string").alias("url"),
+        (F.col("event_id") * 48271 % 10000 / 10.0).alias("x"),
+        (F.col("event_id") * 69621 % 10000 / 10.0).alias("y"),
+    )
+    ix = F.floor(F.col("x") / F.lit(grid.DEFAULT_CELL_SIZE)).cast("long")
+    iy = F.floor(F.col("y") / F.lit(grid.DEFAULT_CELL_SIZE)).cast("long")
+    pts = pts.withColumn(
+        "cell", F.shiftleft(ix + F.lit(grid._B), grid._SHIFT).bitwiseOR(iy + F.lit(grid._B))
+    )
+    rect = ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 2300)).select(
+        (F.col("event_id") - 2000).alias("polygon_id"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("admin")).otherwise(F.lit("landuse")).alias("kind"),
+        (F.col("event_id") * 48271 % 10000 / 10.0).alias("cx"),
+        (F.col("event_id") * 69621 % 10000 / 10.0).alias("cy"),
+        ((F.col("event_id") * 16807 % 90).cast("double") + 10.05).alias("w"),
+        ((F.col("event_id") * 65539 % 90).cast("double") + 10.05).alias("h"),
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def rect_wkb(cx, cy, w, h):
+        out = []
+        for a, b, ww, hh in zip(cx, cy, w, h):
+            ring = np.array(
+                [[a - ww, b - hh], [a + ww, b - hh], [a + ww, b + hh],
+                 [a - ww, b + hh], [a - ww, b - hh]]
+            )
+            out.append(_wkb.encode(("Polygon", [ring])))
+        return pd.Series(out)
+
+    polys = rect.select("polygon_id", "kind", rect_wkb("cx", "cy", "w", "h").alias("geom"))
+    return join_polygons(pts, polys)
+
+
+_PIP_ORACLE = """
+WITH pts AS (
+  SELECT CAST(event_id AS VARCHAR) AS url,
+         (event_id * 48271 % 10000) / 10.0 AS x,
+         (event_id * 69621 % 10000) / 10.0 AS y
+  FROM events WHERE event_id < 2000
+),
+rects AS (
+  SELECT event_id - 2000 AS polygon_id,
+         CASE WHEN event_id % 2 = 0 THEN 'admin' ELSE 'landuse' END AS kind,
+         (event_id * 48271 % 10000) / 10.0 AS cx,
+         (event_id * 69621 % 10000) / 10.0 AS cy,
+         CAST(event_id * 16807 % 90 AS DOUBLE) + 10.05 AS w,
+         CAST(event_id * 65539 % 90 AS DOUBLE) + 10.05 AS h
+  FROM events WHERE event_id >= 2000 AND event_id < 2300
+)
+SELECT p.url, r.polygon_id, r.kind
+FROM pts p JOIN rects r
+  ON p.x >= r.cx - r.w AND p.x <= r.cx + r.w
+ AND p.y >= r.cy - r.h AND p.y <= r.cy + r.h
+"""
+
+
+# --- MinHash / SimHash signature oracles -----------------------------------
+# The whole signature math is SQL-expressible: md5(shingle)[:8] little-endian
+# -> uint64, (a*h + b) mod (2^61-1) min per permutation (HUGEINT avoids the
+# 125-bit overflow; the 128 permutation constants from RandomState(42) are
+# inlined as literals).  Spark's xxhash64 band buckets equal slice equality
+# (modulo a 2^-64 collision), so the band condition is checked directly on
+# the signature slices; for SimHash, Hamming<=3 of 64 bits implies a shared
+# 16-bit band by pigeonhole, so the bucketing is recall-lossless and the
+# oracle is the plain brute-force pair scan.
+
+_MD5_LE = (
+    "('0x' || substr(h,15,2) || substr(h,13,2) || substr(h,11,2) || substr(h,9,2)"
+    " || substr(h,7,2) || substr(h,5,2) || substr(h,3,2) || substr(h,1,2))::UBIGINT"
+)
+
+_SHINGLE_CTE = f"""
+WITH toksrc AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+              ELSE array_to_string(toks, ' ') END AS shingle
+  FROM toksrc, UNNEST(range(CASE WHEN len(toks) >= 3 THEN len(toks)-2 ELSE 1 END)) AS t(i)
+),
+hv AS (
+  SELECT doc_id, {_MD5_LE} AS hval
+  FROM (SELECT doc_id, md5(shingle) AS h FROM sh)
+)"""
+
+
+def _minhash_oracle() -> str:
+    import numpy as np
+
+    p = (1 << 61) - 1
+    rng = np.random.RandomState(42)  # same seed as minhash_signature_udf
+    a = rng.randint(1, p, size=64, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, p, size=64, dtype=np.int64).astype(np.uint64)
+    ab_rows = ", ".join(
+        f"({k}, {int(a[k])}::HUGEINT, {int(b[k])}::HUGEINT)" for k in range(64)
+    )
+    return _SHINGLE_CTE + f""",
+ab(k, a, b) AS (VALUES {ab_rows}),
+mh AS (
+  SELECT doc_id, k,
+         CAST(min((ab.a * hval::HUGEINT + ab.b) % ((1::HUGEINT<<61)-1)) AS BIGINT) AS mv
+  FROM hv CROSS JOIN ab GROUP BY doc_id, k
+),
+sig AS (SELECT doc_id, list(mv ORDER BY k) AS sig FROM mh GROUP BY doc_id),
+scored AS (
+  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b,
+    len(list_filter(range(64), i -> s1.sig[i+1] = s2.sig[i+1])) AS agree,
+    len(list_filter(range(16), bb -> s1.sig[bb*4+1]=s2.sig[bb*4+1] AND s1.sig[bb*4+2]=s2.sig[bb*4+2]
+        AND s1.sig[bb*4+3]=s2.sig[bb*4+3] AND s1.sig[bb*4+4]=s2.sig[bb*4+4])) AS nbands
+  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+)
+SELECT id_a, id_b, round(agree / 64.0, 6) AS est_jaccard
+FROM scored WHERE nbands >= 1 AND round(agree / 64.0, 6) >= 0.5
+"""
+
+
+def _simhash_oracle() -> str:
+    return _SHINGLE_CTE + """,
+bits AS (
+  SELECT doc_id, i, sum(CASE WHEN (hval >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM hv, UNNEST(range(64)) AS t(i) GROUP BY doc_id, i
+),
+sim AS (
+  SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS v
+  FROM bits GROUP BY doc_id
+),
+simh AS (
+  SELECT doc_id,
+         CAST(CASE WHEN v >= (1::HUGEINT<<63) THEN v - (1::HUGEINT<<64) ELSE v END AS BIGINT) AS simhash
+  FROM sim
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scoring DSL + access cascades (SQL-checked)
@@ -1284,6 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sphere_tiling": q_sphere_tiling,
         "grid_tiling": q_grid_tiling,
         "dwithin_join": q_dwithin_join,
+        "knn_join": q_knn_join,
+        "pip_join": q_pip_join,
         # spatial / web-scale (rows-only)
         "network_edges": q_network_edges,
         "network_nodes": q_network_nodes,
@@ -1333,6 +1581,10 @@ def oracle_sql() -> dict[str, str]:
         "sphere_tiling": _sphere_oracle(),
         "grid_tiling": _GRID_ORACLE,
         "dwithin_join": _DWITHIN_ORACLE,
-        # spatial/web-scale + signature ops: rows-only (geometry kernel and
-        # hash signatures are not ANSI-SQL-expressible)
+        "knn_join": _KNN_ORACLE,
+        "pip_join": _PIP_ORACLE,
+        "minhash_dedup": _minhash_oracle(),
+        "simhash_dedup": _simhash_oracle(),
+        # remaining spatial/web-scale ops: rows-only (the geometry kernel
+        # over fixture WKB is not ANSI-SQL-expressible)
     }

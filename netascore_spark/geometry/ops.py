@@ -102,24 +102,50 @@ def _seg_intersection(p1, p2, p3, p4):
     """
     r = p2 - p1
     s = p4 - p3
+    # Zero-length segments first, as point-vs-segment distance tests.
+    # Handling them inside the general parallel/collinear branch is
+    # asymmetric under argument swap (the rlen/slen "or 1.0" substitution
+    # changes the tolerance scale); these explicit cases are symmetric by
+    # construction because both orders reduce to the same distance test.
+    rr0 = float(r @ r)
+    ss0 = float(s @ s)
+    if rr0 <= EPS * EPS and ss0 <= EPS * EPS:
+        if float(np.hypot(*(p3 - p1))) <= EPS:
+            return [p1.copy()], None
+        return [], None
+    if rr0 <= EPS * EPS:
+        if point_seg_dist(p1, p3, p4) <= EPS:
+            return [p1.copy()], None
+        return [], None
+    if ss0 <= EPS * EPS:
+        if point_seg_dist(p3, p1, p2) <= EPS:
+            return [p3.copy()], None
+        return [], None
+    # Canonical argument order: swap so the identical arithmetic (and hence
+    # the identical tolerance decisions) runs for (a, b) and (b, a).
+    if (float(p3[0]), float(p3[1]), float(p4[0]), float(p4[1])) < (
+        float(p1[0]), float(p1[1]), float(p2[0]), float(p2[1])
+    ):
+        p1, p2, p3, p4 = p3, p4, p1, p2
+        r, s = s, r
+        rr0, ss0 = ss0, rr0
     denom = r[0] * s[1] - r[1] * s[0]
     qp = p3 - p1
     qpxr = qp[0] * r[1] - qp[1] * r[0]
-    rlen = float(np.hypot(*r)) or 1.0
-    slen = float(np.hypot(*s)) or 1.0
+    rlen = float(np.hypot(*r))
+    slen = float(np.hypot(*s))
     scale = max(rlen, slen)
 
-    if abs(denom) <= EPS * scale * scale:
-        # parallel
-        if abs(qpxr) > EPS * scale * scale:
+    # Parallel iff the angle between directions is < EPS radians (relative
+    # test — an absolute EPS*scale**2 cross-product threshold misclassifies
+    # a tiny segment against a long one as parallel/collinear).
+    if abs(denom) <= EPS * rlen * slen:
+        # parallel; collinear iff p3 lies within EPS (absolute distance,
+        # coordinate units) of the infinite line through (p1, p2)
+        if abs(qpxr) > EPS * rlen:
             return [], None  # parallel, non-collinear
         # collinear: project onto r
         rr = float(r @ r)
-        if rr <= EPS * EPS:
-            # degenerate first segment (point)
-            if point_seg_dist(p1, p3, p4) <= EPS:
-                return [p1.copy()], None
-            return [], None
         t0 = float((p3 - p1) @ r) / rr
         t1 = float((p4 - p1) @ r) / rr
         lo, hi = min(t0, t1), max(t0, t1)

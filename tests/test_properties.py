@@ -51,6 +51,26 @@ def test_intersection_symmetric(a_pts, b_pts):
     assert (len(pa) > 0 or len(oa) > 0) == (len(pb) > 0 or len(ob) > 0)
 
 
+def test_intersection_symmetric_degenerate_regression():
+    # Hypothesis counterexample from round 2: a zero-length segment vs a
+    # segment passing 1.19e-7 away.  Before the explicit degenerate-segment
+    # cases in _seg_intersection, one argument order returned a point and
+    # the other nothing (asymmetric tolerance scale from the "or 1.0"
+    # length substitution).
+    a = np.array([(0.0, 0.0), (0.0, 0.0)])
+    b = np.array([(0.0, 120.0), (1.19e-7, 0.0)])
+    pa, oa = ops.line_line_intersection(a, b)
+    pb, ob = ops.line_line_intersection(b, a)
+    assert (len(pa) > 0 or len(oa) > 0) == (len(pb) > 0 or len(ob) > 0)
+    # 1.19e-7 > EPS(1e-9): not an intersection in either order
+    assert len(pa) == 0 and len(oa) == 0
+    # a truly touching degenerate point IS found in both orders
+    c = np.array([(0.0, 120.0), (0.0, -5.0)])
+    pc, _ = ops.line_line_intersection(a, c)
+    pd, _ = ops.line_line_intersection(c, a)
+    assert len(pc) == 1 and len(pd) == 1
+
+
 @given(
     st.floats(min_value=-100, max_value=100),
     st.floats(min_value=-100, max_value=100),
