@@ -164,11 +164,22 @@ def run_settings(
         spark = build_session(app_name=f"netascore-{case_id}")
 
     try:
-        _log(" === importing ===", 1)
-        imp = settings["import"]
-        _require_keys(imp, ["type"], "error: import section is missing:")
-        _on_existing(imp)
-        osm, layers = _load_import(spark, imp, base_path)
+        if "import" not in skip:
+            _log(" === importing ===", 1)
+            imp = settings["import"]
+            _require_keys(imp, ["type"], "error: import section is missing:")
+            _on_existing(imp)
+            osm, layers = _load_import(spark, imp, base_path)
+        else:
+            # generate_index.py:83: the reference resumes from tables already
+            # in the database; our durable store is the checkpoint dir, so a
+            # skipped import forces the network/attributes snapshots to be
+            # the data source (run_pipeline enforces their existence).
+            _log(" === skipping import ===", 1)
+            osm, layers = None, {}
+            if not settings.get("global", {}).get("checkpoint_dir"):
+                _log("error: --skip import requires global.checkpoint_dir", 1)
+                sys.exit(1)
 
         if "optional" not in skip and "optional" in settings:
             _log(" === running optional importers ===", 1)
@@ -191,6 +202,7 @@ def run_settings(
             spark, osm, layers, profiles,
             checkpoint_dir=settings.get("global", {}).get("checkpoint_dir"),
             compute_explanation=compute_explanation,
+            skip=[s for s in skip if s in ("network", "attributes")],
         )
 
         if "export" not in skip:

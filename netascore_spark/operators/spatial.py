@@ -429,6 +429,153 @@ def endpoints_udf():
     return _ends
 
 
+def point_xy_udf():
+    """ST_X/ST_Y: WKB point -> struct(x, y).  One O(|points|) Arrow pass —
+    run once per point table, never per candidate pair."""
+
+    @F.pandas_udf(
+        T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
+    )
+    def _xy(geoms: pd.Series) -> pd.DataFrame:
+        rows = []
+        for g in geoms:
+            if g is None:
+                rows.append((None, None))
+            else:
+                c = wkb.decode(bytes(g))[1]
+                rows.append((float(c[0]), float(c[1])))
+        return pd.DataFrame(rows, columns=["x", "y"])
+
+    return _xy
+
+
+def line_segments_udf():
+    """ST_DumpSegments: WKB linestring -> array<struct(sx1,sy1,sx2,sy2)>.
+    One O(|edges|) Arrow pass; the explode to segment rows is native."""
+
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("sx1", T.DoubleType()),
+                    T.StructField("sy1", T.DoubleType()),
+                    T.StructField("sx2", T.DoubleType()),
+                    T.StructField("sy2", T.DoubleType()),
+                ]
+            )
+        )
+    )
+    def _segs(geoms: pd.Series) -> pd.Series:
+        out = []
+        for g in geoms:
+            if g is None:
+                out.append(None)
+                continue
+            c = wkb.decode(bytes(g))[1]
+            out.append(
+                [
+                    (float(c[i, 0]), float(c[i, 1]), float(c[i + 1, 0]), float(c[i + 1, 1]))
+                    for i in range(len(c) - 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return _segs
+
+
+def dwithin_point_line_native(
+    points: DataFrame,
+    lines: DataFrame,
+    point_id: str,
+    line_id: str,
+    radius: float,
+    cell_size: float = grid.DEFAULT_CELL_SIZE,
+) -> DataFrame:
+    """Distinct (line_id, point_id) pairs with ST_DWithin(point, line,
+    radius) — the J5 point-vs-linestring join with ZERO python in the hot
+    path.
+
+    Python touches each input row exactly once (point_xy_udf over points,
+    line_segments_udf over lines); the candidate join and the exact
+    point-segment distance refine are pure native Columns inside whole-stage
+    codegen, mirroring ops.points_line_dist term-for-term so results are
+    bit-identical to the pandas refine (netascore_spark/geometry/ops.py:78).
+
+    Plan shape: points keep their single cell; segments explode to the
+    radius-padded bbox cover via native sequence+explode (no UDF).  A
+    (point, segment) pair meets in exactly one cell, so the only dedup is
+    across segments of the same line, folded into the distinct aggregation.
+    """
+    pts = (
+        spread(points.select(point_id, "geom"))
+        .select(point_id, point_xy_udf()(F.col("geom")).alias("__p"))
+        .select(point_id, F.col("__p.x").alias("px"), F.col("__p.y").alias("py"))
+        .filter(F.col("px").isNotNull())
+        .withColumn(
+            "cell",
+            F.shiftleft(
+                F.floor(F.col("px") / F.lit(cell_size)).cast("long") + F.lit(grid._B),
+                grid._SHIFT,
+            ).bitwiseOR(
+                F.floor(F.col("py") / F.lit(cell_size)).cast("long") + F.lit(grid._B)
+            ),
+        )
+    )
+    segs = (
+        spread(lines.select(line_id, "geom"))
+        .select(line_id, F.explode(line_segments_udf()(F.col("geom"))).alias("__s"))
+        .select(line_id, "__s.sx1", "__s.sy1", "__s.sx2", "__s.sy2")
+    )
+    r = F.lit(float(radius))
+    segs = (
+        segs.withColumn(
+            "__ix",
+            F.explode(
+                F.sequence(
+                    F.floor((F.least("sx1", "sx2") - r) / F.lit(cell_size)).cast("long"),
+                    F.floor((F.greatest("sx1", "sx2") + r) / F.lit(cell_size)).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "__iy",
+            F.explode(
+                F.sequence(
+                    F.floor((F.least("sy1", "sy2") - r) / F.lit(cell_size)).cast("long"),
+                    F.floor((F.greatest("sy1", "sy2") + r) / F.lit(cell_size)).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "cell",
+            F.shiftleft(F.col("__ix") + F.lit(grid._B), grid._SHIFT).bitwiseOR(
+                F.col("__iy") + F.lit(grid._B)
+            ),
+        )
+        .drop("__ix", "__iy")
+    )
+    cand = pts.join(segs, "cell")
+    # exact refine, term-for-term ops.points_line_dist: t = clip(ap.ab/den),
+    # den substituted with 1.0 for degenerate segments (EPS^2 = 1e-18)
+    dx = F.col("sx2") - F.col("sx1")
+    dy = F.col("sy2") - F.col("sy1")
+    den = dx * dx + dy * dy
+    den = F.when(den <= F.lit(1e-18), F.lit(1.0)).otherwise(den)
+    t = F.least(
+        F.greatest(
+            ((F.col("px") - F.col("sx1")) * dx + (F.col("py") - F.col("sy1")) * dy) / den,
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    ddx = F.col("px") - (F.col("sx1") + t * dx)
+    ddy = F.col("py") - (F.col("sy1") + t * dy)
+    # sqrt() <= radius (not d2 <= r^2): matches the pandas refine's compare
+    # on the rooted distance, so boundary ulps can't flip between the paths
+    hits = cand.filter(F.sqrt(ddx * ddx + ddy * ddy) <= r)
+    return hits.select(line_id, point_id).distinct()
+
+
 # ---------------------------------------------------------------------------
 # skew salting (north rule: hot urban cells)
 # ---------------------------------------------------------------------------

@@ -150,22 +150,17 @@ def proximity_ratio(
     radius: float,
     cell_size: float,
 ) -> DataFrame:
-    """count(points within radius of edge) / length * 100 (A2 + ratio)."""
-    cand = spatial.candidate_pairs(
+    """count(points within radius of edge) / length * 100 (A2 + ratio).
+
+    Zero-python hot path (dwithin_point_line_native): python touches each
+    point and each edge exactly once for coordinate extraction; the
+    candidate cell join and the exact point-segment refine run in native
+    whole-stage codegen — no per-candidate-pair pandas work."""
+    hits = spatial.dwithin_point_line_native(
         points.select(point_id, "geom"),
-        edges.select(F.col("edge_id"), F.col("geom")),
+        edges.select("edge_id", "geom"),
         point_id, "edge_id",
-        cell_size=cell_size,
-        pad=radius, pad_side="left",
-    )
-    # spread BY edge + cluster within partitions: the vectorized dwithin
-    # refine groups each Arrow batch by edge geometry — contiguous rows per
-    # edge mean ONE WKB decode per edge per batch instead of one per row.
-    # The keyed repartition also doubles as the downstream groupBy exchange.
-    hits = (
-        spatial.spread(cand, "edge_id")
-        .sortWithinPartitions("edge_id")
-        .filter(spatial.dwithin_udf(radius)(F.col("geom"), F.col("r_geom")))
+        radius, cell_size,
     )
     counts = hits.groupBy("edge_id").agg(F.count("*").alias("cnt"))
     return counts.join(edges.select("edge_id", "length"), "edge_id").select(

@@ -101,6 +101,15 @@ class Checkpointer:
             json.dump(meta, fh, indent=2)
         return out
 
+    def read(self, name: str) -> DataFrame:
+        """Reader for an existing snapshot (resume path for ``--skip``)."""
+        if not self.exists(name):
+            raise RuntimeError(
+                f"checkpoint '{name}' not found under {self.base_dir}; "
+                "cannot skip a stage whose snapshot was never materialized"
+            )
+        return self.spark.read.parquet(self._path(name))
+
     def lineage(self, name: str) -> dict:
         with open(self._meta_path(name)) as fh:
             return json.load(fh)

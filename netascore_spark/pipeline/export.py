@@ -50,22 +50,46 @@ def run_pipeline(
     include_aerialway: bool = False,
     cell_size: float = 200.0,
     scalable_ids: bool = False,
+    skip: list[str] | None = None,
 ) -> dict[str, DataFrame]:
-    """The full netascore flow: network -> attributes -> index -> export."""
+    """The full netascore flow: network -> attributes -> index -> export.
+
+    ``skip`` (generate_index.py:20-21 semantics): ``"network"`` /
+    ``"attributes"`` resume those stages from the checkpoint snapshots
+    instead of recomputing — requires ``checkpoint_dir`` with the stage
+    already materialized by a prior run.  ``osm_line=None`` (import
+    skipped) implies skipping both.
+    """
+    skip = set(skip or [])
     ckpt = Checkpointer(spark, checkpoint_dir) if checkpoint_dir else None
+    if osm_line is None:
+        skip |= {"network", "attributes"}
+    if skip & {"network", "attributes"} and ckpt is None:
+        raise RuntimeError(
+            "--skip network/attributes (or a skipped import) needs "
+            "global.checkpoint_dir pointing at a prior run's snapshots"
+        )
 
     def snap(df: DataFrame, name: str, upstream: list[str]) -> DataFrame:
         return ckpt.materialize(df, name, upstream) if ckpt else df
 
-    edges, nodes = NET.build_network(
-        osm_line, include_rail, include_aerialway, cell_size, scalable_ids
-    )
-    edges = snap(edges, "network_edge", ["osm_line"])
-    nodes = snap(nodes, "network_node", ["osm_line"])
+    if "network" in skip:
+        edges = ckpt.read("network_edge")
+        nodes = ckpt.read("network_node")
+    else:
+        edges, nodes = NET.build_network(
+            osm_line, include_rail, include_aerialway, cell_size, scalable_ids
+        )
+        edges = snap(edges, "network_edge", ["osm_line"])
+        nodes = snap(nodes, "network_node", ["osm_line"])
 
-    attrs, node_attrs = ATTR.build_attributes(edges, nodes, osm_line, layers, cell_size)
-    attrs = snap(attrs, "network_edge_attributes", ["network_edge"])
-    node_attrs = snap(node_attrs, "network_node_attributes", ["network_node"])
+    if "attributes" in skip:
+        attrs = ckpt.read("network_edge_attributes")
+        node_attrs = ckpt.read("network_node_attributes")
+    else:
+        attrs, node_attrs = ATTR.build_attributes(edges, nodes, osm_line, layers, cell_size)
+        attrs = snap(attrs, "network_edge_attributes", ["network_edge"])
+        node_attrs = snap(node_attrs, "network_node_attributes", ["network_node"])
 
     scored = attrs
     for p in profiles:

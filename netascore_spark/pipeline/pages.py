@@ -144,6 +144,12 @@ def join_polygons(
 # resolve geometry with the distributed edge_id join.
 BROADCAST_MAX_EDGES = 1_000_000
 
+# "auto" salting: cells holding more pages than this are pre-split across
+# salt buckets.  Absolute (not total-relative) on purpose — a 50k-page cell
+# is a straggler on any cluster size, and an absolute bound costs exactly
+# one histogram aggregation, no total count.
+AUTO_SALT_THRESHOLD = 50_000
+
 
 def nearest_edges(
     pages_geo: DataFrame,
@@ -151,7 +157,7 @@ def nearest_edges(
     k: int = 1,
     radius: float = 500.0,
     cell_size: float = grid.DEFAULT_CELL_SIZE,
-    salt_threshold: int | None = None,
+    salt_threshold: int | str | None = "auto",
     progressive: bool = True,
     geom_strategy: str = "join",
 ) -> DataFrame:
@@ -167,6 +173,10 @@ def nearest_edges(
       dict (fast when the edge table is provably small; refuses to run
       above ``BROADCAST_MAX_EDGES``).
     - ``"auto"``: bounded count, broadcast iff <= ``BROADCAST_MAX_EDGES``.
+
+    ``salt_threshold``: ``"auto"`` (default) pre-splits cells holding more
+    than ``AUTO_SALT_THRESHOLD`` pages via one histogram pass; an int is an
+    explicit threshold; ``None`` disables salting (AQE skew-join only).
 
     ``progressive=True`` (the DEFAULT) is two-phase cell-ring expansion:
     phase 1 searches a small padded cover (``cell_size/2``); a page is
@@ -211,12 +221,18 @@ def nearest_edges(
         n_bounded = edges.select("edge_id").limit(BROADCAST_MAX_EDGES + 1).count()
         geom_strategy = "broadcast" if n_bounded <= BROADCAST_MAX_EDGES else "join"
 
+    # "auto" (the default): one map-side-combined histogram pass finds cells
+    # whose page count exceeds the absolute straggler bound — a cell holding
+    # more rows than that dominates its task on any cluster size, so the
+    # threshold needs no total count.  When no cell is hot, the salting
+    # machinery (string keys, edge-side replication) is skipped entirely.
+    join_key = "cell"
     if salt_threshold:
-        hot = spatial.hot_cells(pg, "cell", salt_threshold)
-        pg, ec = spatial.salt_cells(pg, ec, hot)
-        join_key = "cell_salt"
-    else:
-        join_key = "cell"
+        thr = AUTO_SALT_THRESHOLD if salt_threshold == "auto" else salt_threshold
+        hot = spatial.hot_cells(pg, "cell", thr)
+        if hot:
+            pg, ec = spatial.salt_cells(pg, ec, hot)
+            join_key = "cell_salt"
 
     # each page carries exactly ONE cell, so a (url, edge) pair meets in at
     # most one cell — no pair-dedup shuffle needed

@@ -445,7 +445,8 @@ def pages(spark: SparkSession, n: int = 2000, seed: int = SEED) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def scaled_layers(
-    spark: SparkSession, scale: int, dem_cell: float = 100.0
+    spark: SparkSession, scale: int, dem_cell: float = 100.0,
+    point_density: float = 1.0, water_density: float = 1.0,
 ) -> dict[str, DataFrame]:
     """Layer dict sized to ``osm_lines(spark, scale)``'s grid-city extent.
 
@@ -453,6 +454,13 @@ def scaled_layers(
     thresholds), these tile the WHOLE grid so every attribute join does
     real work per edge — the honest input for edges/sec comparisons
     against the reference's Austria-scale per-op timings (BASELINE.md).
+
+    ``point_density`` thins the facility/crossing points (1.0 = one per
+    block, ~0.5/edge; the Austria-parity setting is ~1/12: OSM Austria has
+    ~300k amenities and ~120k crossings against 3.88M network edges, i.e.
+    0.03-0.08 per edge).  ``water_density`` spaces the rivers (1.0 = every
+    16th row; Austria-parity ~1/4).  Thinning is a deterministic stride so
+    runs are reproducible.
     """
     n = 8 * scale
     step = 100.0
@@ -492,11 +500,13 @@ def scaled_layers(
     # nearest horizontal street (exercises both DWithin radii)
     f_rows, c_rows = [], []
     pid = 1
+    stride = max(1, int(round(1.0 / point_density)))
     for i in range(n):
         for j in range(n - 1):
             d = [5.0, 25.0, 35.0][(i + j) % 3]
-            f_rows.append((pid, wkb.encode(wkb.point(j * step + 70.0, i * step + d))))
-            c_rows.append((pid, wkb.encode(wkb.point(j * step + 50.0, i * step + (pid % 12)))))
+            if pid % stride == 0 or stride == 1:
+                f_rows.append((pid, wkb.encode(wkb.point(j * step + 70.0, i * step + d))))
+                c_rows.append((pid, wkb.encode(wkb.point(j * step + 50.0, i * step + (pid % 12)))))
             pid += 1
     facility = spark.createDataFrame(f_rows, poly_schema("facility"))
     crossing = spark.createDataFrame(c_rows, poly_schema("crossing"))
@@ -528,7 +538,8 @@ def scaled_layers(
     # water: a river along every 16th row + one lake per quadrant
     w_rows = []
     wid = 1
-    for i in range(0, n, 16):
+    river_step = max(16, int(round(16.0 / water_density)))
+    for i in range(0, n, river_step):
         w_rows.append(
             (
                 wid,

@@ -83,6 +83,24 @@ def test_nearest_edge_knn(spark, pages_extracted):
     assert a == b
 
 
+def test_nearest_edges_auto_salting(spark, pages_extracted, monkeypatch):
+    # default salt_threshold="auto": with the straggler bound lowered below
+    # the fixture's hot-cell counts, the histogram pass must find hot cells
+    # and the salted join must stay result-identical to the unsalted one
+    osm = fixtures.osm_lines(spark, scale=1)
+    edges, _ = N.build_network(osm)
+    monkeypatch.setattr(P, "AUTO_SALT_THRESHOLD", 20)
+    hot = __import__("netascore_spark.operators.spatial", fromlist=["spatial"]).hot_cells(
+        pages_extracted.filter(F.col("cell").isNotNull()), "cell", 20
+    )
+    assert hot  # the fixture's skew triggers the auto path
+    auto = P.nearest_edges(pages_extracted, edges, k=2, radius=500.0)
+    off = P.nearest_edges(pages_extracted, edges, k=2, radius=500.0, salt_threshold=None)
+    a = {(r["url"], r["rank"]): (r["edge_id"], r["dist"]) for r in auto.collect()}
+    b = {(r["url"], r["rank"]): (r["edge_id"], r["dist"]) for r in off.collect()}
+    assert a == b
+
+
 def test_page_edge_attributes(spark, pages_extracted):
     osm = fixtures.osm_lines(spark, scale=1)
     edges, _ = N.build_network(osm)

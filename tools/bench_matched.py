@@ -46,6 +46,10 @@ REF_SECONDS = {
     "greenness": 662,              # buffer_30 135(+31) + intersect 359 + ratio 137
     "water": 57,
     "noise": 878,                  # intersect 869 + sum 9
+    # Austria-parity density reruns compare against the same reference op
+    "facilities_austria_density": 34,
+    "crossings_austria_density": 24,
+    "water_austria_density": 57,
 }
 
 
@@ -122,6 +126,20 @@ def main() -> None:
     timed("water", lambda: ATTR.water_flag(edges, layers["water"], cell).count())
     timed("noise", lambda: ATTR.noise_sum(edges, layers["noise"], cell).count())
 
+    # Austria-parity densities (settles the round-2 density caveat): OSM
+    # Austria has ~0.03-0.08 amenities/crossings per edge and far sparser
+    # rivers than the dense synthetic city; run the three density-sensitive
+    # ops again at that density so both numbers are on the record.
+    at_layers = fixtures.scaled_layers(
+        spark, scale, dem_cell=100.0, point_density=1.0 / 12.0, water_density=0.25
+    )
+    timed("facilities_austria_density", lambda: ATTR.proximity_ratio(
+        edges, at_layers["facility"], "facility_id", 30.0, cell).count())
+    timed("crossings_austria_density", lambda: ATTR.proximity_ratio(
+        edges, at_layers["crossing"], "crossing_id", 10.0, cell).count())
+    timed("water_austria_density", lambda: ATTR.water_flag(
+        edges, at_layers["water"], cell).count())
+
     def _score():
         attrs, _ = ATTR.build_attributes(
             edges, nodes, osm, layers, cell_size=cell, dem_cell=100.0
@@ -143,7 +161,10 @@ def main() -> None:
             entry["ratio_vs_ref"] = round(ours_eps / ref_eps[k], 2)
         table[k] = entry
 
-    total = round(sum(timings.values()), 2)
+    # the Austria-density reruns are diagnostics, not pipeline stages
+    total = round(
+        sum(v for k, v in timings.items() if not k.endswith("_austria_density")), 2
+    )
     print(json.dumps({
         "metric": "matched-scale per-op throughput (network+attributes)",
         "value": total,
