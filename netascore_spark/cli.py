@@ -103,6 +103,36 @@ def _load_import(spark: SparkSession, imp: dict, base_path: str):
         p = p if os.path.isabs(p) else os.path.join(base_path, p)
         osm = read_geopackage(spark, p, imp["layer"])
         return osm, {}
+    if kind == "osm":
+        # real .osm XML extract (import_step.py:424 osm2pgsql equivalent):
+        # parse to osm_point/line/polygon, then derive the standard layers
+        # (building/crossing/facility/greenness/water, import_step.py:432+)
+        # with scalable ids over the (src, osm_id) total order.
+        from netascore_spark.sources.osmxml import read_osm_xml
+        from netascore_spark.sources import layers as L
+        from netascore_spark.operators.ids import assign_ids
+
+        _require_keys(imp, ["filename"], "error: import section is missing:")
+        p = imp["filename"]
+        p = p if os.path.isabs(p) else os.path.join(base_path, p)
+        tables = read_osm_xml(spark, p, imp.get("projection", "utm"))
+        pt, ln, pg = tables["osm_point"], tables["osm_line"], tables["osm_polygon"]
+
+        def with_id(df, name):
+            out = assign_ids(df, ["src", "osm_id"], f"{name}_id").drop(
+                "src", "osm_id"
+            )
+            rest = [c for c in out.columns if c != f"{name}_id"]
+            return out.select(f"{name}_id", *rest)
+
+        layers = {
+            "facility": with_id(L.facility_layer(pt, pg, True), "facility"),
+            "crossing": with_id(L.crossing_layer(pt, ln, pg, True), "crossing"),
+            "building": with_id(L.building_layer(pg, True), "building"),
+            "greenness": with_id(L.greenness_layer(pg, True), "greenness"),
+            "water": with_id(L.water_layer(ln, pg, True), "water"),
+        }
+        return ln, layers
     _log(f"import type '{kind}' not supported (osm/gip HTTP import is out of "
          "scope per SURVEY §7 — convert with osm2pgsql/ogr2ogr to parquet or gpkg)", 1)
     sys.exit(1)

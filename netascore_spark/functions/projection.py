@@ -1,0 +1,137 @@
+"""WGS84 <-> UTM (Transverse Mercator) projection, vectorized numpy.
+
+The reference imports OSM data via osm2pgsql and reprojects with PostGIS
+``ST_Transform(way, target_srid)`` (core/import_step.py:436-533), where the
+target SRID is the UTM zone of the AOI (sql functions utmzone, mirrored in
+functions/attributes.py).  This module supplies the equivalent projection
+without GDAL/proj: the standard Karney/Krüger series for the transverse
+Mercator mapping (6th-order alpha/beta coefficients, the same series proj
+uses for ``tmerc``) — forward error < 1e-9 m within a UTM zone, round-trip
+error < 1e-9 m.  All public-domain math (Karney 2011, "Transverse Mercator
+with an accuracy of a few nanometers").
+
+Everything accepts scalars or numpy arrays (degrees in, meters out).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# WGS84 ellipsoid
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+
+_N = _F / (2.0 - _F)  # third flattening
+# rectifying radius A1 = a/(1+n) (1 + n^2/4 + n^4/64 + ...)
+_A1 = _A / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0 + _N**6 / 256.0)
+
+# Krüger series coefficients (Karney 2011 eq. 35/36), order n^6
+_ALPHA = np.array(
+    [
+        _N / 2.0 - 2.0 / 3.0 * _N**2 + 5.0 / 16.0 * _N**3 + 41.0 / 180.0 * _N**4
+        - 127.0 / 288.0 * _N**5 + 7891.0 / 37800.0 * _N**6,
+        13.0 / 48.0 * _N**2 - 3.0 / 5.0 * _N**3 + 557.0 / 1440.0 * _N**4
+        + 281.0 / 630.0 * _N**5 - 1983433.0 / 1935360.0 * _N**6,
+        61.0 / 240.0 * _N**3 - 103.0 / 140.0 * _N**4 + 15061.0 / 26880.0 * _N**5
+        + 167603.0 / 181440.0 * _N**6,
+        49561.0 / 161280.0 * _N**4 - 179.0 / 168.0 * _N**5 + 6601661.0 / 7257600.0 * _N**6,
+        34729.0 / 80640.0 * _N**5 - 3418889.0 / 1995840.0 * _N**6,
+        212378941.0 / 319334400.0 * _N**6,
+    ]
+)
+_BETA = np.array(
+    [
+        _N / 2.0 - 2.0 / 3.0 * _N**2 + 37.0 / 96.0 * _N**3 - 1.0 / 360.0 * _N**4
+        - 81.0 / 512.0 * _N**5 + 96199.0 / 604800.0 * _N**6,
+        1.0 / 48.0 * _N**2 + 1.0 / 15.0 * _N**3 - 437.0 / 1440.0 * _N**4
+        + 46.0 / 105.0 * _N**5 - 1118711.0 / 3870720.0 * _N**6,
+        17.0 / 480.0 * _N**3 - 37.0 / 840.0 * _N**4 - 209.0 / 4480.0 * _N**5
+        + 5569.0 / 90720.0 * _N**6,
+        4397.0 / 161280.0 * _N**4 - 11.0 / 504.0 * _N**5 - 830251.0 / 7257600.0 * _N**6,
+        4583.0 / 161280.0 * _N**5 - 108847.0 / 3991680.0 * _N**6,
+        20648693.0 / 638668800.0 * _N**6,
+    ]
+)
+
+_K0 = 0.9996  # UTM scale on the central meridian
+_E = np.sqrt(_F * (2.0 - _F))  # first eccentricity
+FALSE_EASTING = 500000.0
+FALSE_NORTHING_SOUTH = 10000000.0
+
+
+def utm_zone(lon, lat=None):
+    """UTM zone number for a longitude (matches the reference's utmzone
+    SQL function, functions/attributes.py:utmzone)."""
+    return int(np.floor((np.asarray(lon, dtype=float) + 180.0) / 6.0)) % 60 + 1
+
+
+def zone_central_meridian(zone: int) -> float:
+    return float(zone) * 6.0 - 183.0
+
+
+def wgs84_to_utm(lon, lat, zone: int, north: bool = True):
+    """(lon, lat) degrees -> (easting, northing) meters in the given zone."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lam = np.radians(lon - zone_central_meridian(zone))
+    phi = np.radians(lat)
+
+    # conformal latitude (Karney eq. 7-9)
+    t = np.tan(phi)
+    sigma = np.sinh(_E * np.arctanh(_E * t / np.hypot(1.0, t)))
+    tp = t * np.hypot(1.0, sigma) - sigma * np.hypot(1.0, t)
+
+    # Gauss-Schreiber coordinates
+    xi_p = np.arctan2(tp, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.hypot(tp, np.cos(lam)))
+
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi = xi + _ALPHA[j] * np.sin(k * xi_p) * np.cosh(k * eta_p)
+        eta = eta + _ALPHA[j] * np.cos(k * xi_p) * np.sinh(k * eta_p)
+
+    easting = FALSE_EASTING + _K0 * _A1 * eta
+    northing = _K0 * _A1 * xi
+    if not north:
+        northing = northing + FALSE_NORTHING_SOUTH
+    return easting, northing
+
+
+def utm_to_wgs84(easting, northing, zone: int, north: bool = True):
+    """(easting, northing) meters -> (lon, lat) degrees."""
+    easting = np.asarray(easting, dtype=np.float64)
+    northing = np.asarray(northing, dtype=np.float64)
+    if not north:
+        northing = northing - FALSE_NORTHING_SOUTH
+    xi = northing / (_K0 * _A1)
+    eta = (easting - FALSE_EASTING) / (_K0 * _A1)
+
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi_p = xi_p - _BETA[j] * np.sin(k * xi) * np.cosh(k * eta)
+        eta_p = eta_p - _BETA[j] * np.cos(k * xi) * np.sinh(k * eta)
+
+    tp = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+
+    # invert the conformal latitude by Newton iteration (Karney eq. 19-21;
+    # dtau'/dtau = sqrt(1+tau'^2)/sqrt(1+tau^2) * (1+(1-e^2)tau^2) /
+    # ((1-e^2)(1+tau^2)); quadratic convergence, ~3 iterations to 1e-15)
+    t = tp.copy()
+    for _ in range(6):
+        sigma = np.sinh(_E * np.arctanh(_E * t / np.hypot(1.0, t)))
+        tpi = t * np.hypot(1.0, sigma) - sigma * np.hypot(1.0, t)
+        dtp = (
+            np.hypot(1.0, tpi) / np.hypot(1.0, t)
+            * (1.0 + (1.0 - _E * _E) * t * t)
+            / ((1.0 - _E * _E) * (1.0 + t * t))
+        )
+        t = t - (tpi - tp) / dtp
+
+    lat = np.degrees(np.arctan(t))
+    lon = np.degrees(lam) + zone_central_meridian(zone)
+    return lon, lat

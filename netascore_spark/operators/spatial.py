@@ -64,14 +64,16 @@ def cover_cells_udf(cell_size: float = grid.DEFAULT_CELL_SIZE, pad: float = 0.0)
     return _cover
 
 
-def point_cell_udf(cell_size: float = grid.DEFAULT_CELL_SIZE):
-    """pandas UDF: (x, y) double columns -> single cell id (vectorized)."""
-
-    @F.pandas_udf(T.LongType())
-    def _cell(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(grid.cell(x.to_numpy(), y.to_numpy(), cell_size))
-
-    return _cell
+def point_cell_expr(
+    x: Column, y: Column, cell_size: float = grid.DEFAULT_CELL_SIZE
+) -> Column:
+    """Native Column form of :func:`netascore_spark.grid.cell` — the single
+    cell id for a point, entirely inside whole-stage codegen (no python).
+    Bit-identical to the numpy path for the valid coordinate domain
+    (|index| < 2^20)."""
+    ix = F.floor(x / F.lit(float(cell_size))).cast("long")
+    iy = F.floor(y / F.lit(float(cell_size))).cast("long")
+    return F.shiftleft(ix + F.lit(grid._B), grid._SHIFT).bitwiseOR(iy + F.lit(grid._B))
 
 
 def with_cells(
@@ -511,15 +513,7 @@ def dwithin_point_line_native(
         .select(point_id, point_xy_udf()(F.col("geom")).alias("__p"))
         .select(point_id, F.col("__p.x").alias("px"), F.col("__p.y").alias("py"))
         .filter(F.col("px").isNotNull())
-        .withColumn(
-            "cell",
-            F.shiftleft(
-                F.floor(F.col("px") / F.lit(cell_size)).cast("long") + F.lit(grid._B),
-                grid._SHIFT,
-            ).bitwiseOR(
-                F.floor(F.col("py") / F.lit(cell_size)).cast("long") + F.lit(grid._B)
-            ),
-        )
+        .withColumn("cell", point_cell_expr(F.col("px"), F.col("py"), cell_size))
     )
     segs = (
         spread(lines.select(line_id, "geom"))

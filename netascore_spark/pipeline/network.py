@@ -372,7 +372,7 @@ def drop_dangling_indoor(corrected: DataFrame, cell_size: float = 200.0) -> Data
         [(c,) for c in sorted(indoor_cells)], "cell long"
     )
     pts = all_pts.withColumn(
-        "cell", spatial.point_cell_udf(cell_size)(F.col("x"), F.col("y"))
+        "cell", spatial.point_cell_expr(F.col("x"), F.col("y"), cell_size)
     ).join(F.broadcast(cells_df), "cell", "left_semi").collect()
 
     # indoor_points: endpoint rows intersecting an indoor edge

@@ -40,45 +40,51 @@ _TEXT_PATTERN = r'<main id="content">(.*?)</main>'
 _GEO_PATTERN = r'<meta name="geo\.position" content="(-?[0-9.]+);(-?[0-9.]+)">'
 
 
-@F.pandas_udf(T.StringType())
-def extract_text_udf(html: pd.Series) -> pd.Series:
-    """HTML bytes -> extracted text. MUST be byte-identical per url."""
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("extracted_text", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+)
+def extract_page_udf(html: pd.Series) -> pd.DataFrame:
+    """Fused extract_text + parse_geo: ONE utf-8 decode of the html bytes
+    (the dominant python-side cost — html is the fat column) feeds both
+    regexes.  Semantics identical to running the two single-purpose UDFs."""
     decoded = pd.Series(
         [None if h is None else bytes(h).decode("utf-8", errors="strict") for h in html]
     )
-    return decoded.str.extract(_TEXT_PATTERN, expand=False)
-
-
-@F.pandas_udf(
-    T.StructType(
-        [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
-    )
-)
-def parse_geo_udf(html: pd.Series) -> pd.DataFrame:
-    """Geo meta tag -> planar (x, y); NULLs when absent (must not join)."""
-    decoded = pd.Series(
-        [None if h is None else bytes(h).decode("utf-8", errors="ignore") for h in html]
-    )
+    text = decoded.str.extract(_TEXT_PATTERN, expand=False)
     m = decoded.str.extract(_GEO_PATTERN)
     return pd.DataFrame(
-        {"x": pd.to_numeric(m[1], errors="coerce"), "y": pd.to_numeric(m[0], errors="coerce")}
+        {
+            "extracted_text": text,
+            "x": pd.to_numeric(m[1], errors="coerce"),
+            "y": pd.to_numeric(m[0], errors="coerce"),
+        }
     )
 
 
 def extract_pages(pages: DataFrame, cell_size: float = grid.DEFAULT_CELL_SIZE) -> DataFrame:
-    """pages -> url, warc_ts, lang, extracted_text, x, y, cell."""
+    """pages -> url, warc_ts, lang, extracted_text, x, y, cell.
+
+    One fused Arrow pass over ``html`` (extract_page_udf) — the html bytes
+    cross the Arrow boundary once and are utf-8-decoded once; the cell
+    encode is a native Column expression (no python stage at all)."""
     out = (
-        pages.withColumn("extracted_text", extract_text_udf(F.col("html")))
-        .withColumn("__geo", parse_geo_udf(F.col("html")))
+        pages.withColumn("__e", extract_page_udf(F.col("html")))
         .select(
-            "url", "warc_ts", "lang", "text", "extracted_text",
-            F.col("__geo.x").alias("x"), F.col("__geo.y").alias("y"),
+            "url", "warc_ts", "lang", "text",
+            F.col("__e.extracted_text").alias("extracted_text"),
+            F.col("__e.x").alias("x"), F.col("__e.y").alias("y"),
         )
         .withColumn(
             "cell",
             F.when(
                 F.col("x").isNotNull(),
-                spatial.point_cell_udf(cell_size)(F.col("x"), F.col("y")),
+                spatial.point_cell_expr(F.col("x"), F.col("y"), cell_size),
             ),
         )
     )

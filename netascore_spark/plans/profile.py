@@ -349,12 +349,18 @@ def calculate_index(
     out = {"index": index_final, "index_robustness": robustness}
 
     if compute_explanation:
+        # sort key: calculate_index.sql.j2:113 is `ORDER BY weight DESC,
+        # indicator` — Postgres DESC defaults to NULLS FIRST, so entries
+        # whose contribution is NULL (score CASE fell through with no
+        # default) lead the JSON object; coalescing the negated key to -inf
+        # reproduces that exactly (ties then break on indicator ASC via the
+        # struct's field order).
         entries = F.array(
             *[
                 F.when(
                     included,
                     F.struct(
-                        (-F.coalesce(contribution, F.lit(float("-inf")))).alias("sort_w"),
+                        F.coalesce(-contribution, F.lit(float("-inf"))).alias("sort_w"),
                         F.lit(iname).alias("indicator"),
                         F.round(contribution, 4).alias("weight"),
                     ),

@@ -447,6 +447,7 @@ def pages(spark: SparkSession, n: int = 2000, seed: int = SEED) -> DataFrame:
 def scaled_layers(
     spark: SparkSession, scale: int, dem_cell: float = 100.0,
     point_density: float = 1.0, water_density: float = 1.0,
+    layer_filter: set[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Layer dict sized to ``osm_lines(spark, scale)``'s grid-city extent.
 
@@ -461,10 +462,17 @@ def scaled_layers(
     0.03-0.08 per edge).  ``water_density`` spaces the rivers (1.0 = every
     16th row; Austria-parity ~1/4).  Thinning is a deterministic stride so
     runs are reproducible.
+
+    ``layer_filter``: build only the named layers (None = all) — the
+    >=2M-edge amortization bench restricts to its timed ops' inputs so the
+    driver doesn't materialize millions of unused fixture tuples.
     """
     n = 8 * scale
     step = 100.0
     extent = (n - 1) * step
+
+    def want(name: str) -> bool:
+        return layer_filter is None or name in layer_filter
 
     def rect(x0, y0, x1, y1):
         return wkb.encode(wkb.polygon([[x0, y0], [x1, y0], [x1, y1], [x0, y1]]))
@@ -473,21 +481,23 @@ def scaled_layers(
     # horizontal street segment -> ~n^2/2 buildings (~0.5 per edge)
     b_rows, g_rows = [], []
     pid = 1
-    for i in range(n):
-        for j in range(0, n - 1, 2):
-            x0 = j * step + 15.0
-            y0 = i * step + 4.0
-            b_rows.append((pid, rect(x0, y0, x0 + 50.0, y0 + 10.0)))
-            pid += 1
+    if want("building"):
+        for i in range(n):
+            for j in range(0, n - 1, 2):
+                x0 = j * step + 15.0
+                y0 = i * step + 4.0
+                b_rows.append((pid, rect(x0, y0, x0 + 50.0, y0 + 10.0)))
+                pid += 1
     # greenness: one 80x60 m park per 2x2 block (~0.25 per edge), offset so
     # parks straddle the 30 m buffers of two streets
     pid = 1
-    for i in range(0, n - 1, 2):
-        for j in range(1, n - 1, 2):
-            x0 = j * step + 10.0
-            y0 = i * step + 25.0
-            g_rows.append((pid, rect(x0, y0, x0 + 80.0, y0 + 60.0)))
-            pid += 1
+    if want("greenness"):
+        for i in range(0, n - 1, 2):
+            for j in range(1, n - 1, 2):
+                x0 = j * step + 10.0
+                y0 = i * step + 25.0
+                g_rows.append((pid, rect(x0, y0, x0 + 80.0, y0 + 60.0)))
+                pid += 1
     poly_schema = lambda kind: T.StructType(
         [T.StructField(f"{kind}_id", T.LongType()), T.StructField("geom", T.BinaryType())]
     )
@@ -501,13 +511,14 @@ def scaled_layers(
     f_rows, c_rows = [], []
     pid = 1
     stride = max(1, int(round(1.0 / point_density)))
-    for i in range(n):
-        for j in range(n - 1):
-            d = [5.0, 25.0, 35.0][(i + j) % 3]
-            if pid % stride == 0 or stride == 1:
-                f_rows.append((pid, wkb.encode(wkb.point(j * step + 70.0, i * step + d))))
-                c_rows.append((pid, wkb.encode(wkb.point(j * step + 50.0, i * step + (pid % 12)))))
-            pid += 1
+    if want("facility") or want("crossing"):
+        for i in range(n):
+            for j in range(n - 1):
+                d = [5.0, 25.0, 35.0][(i + j) % 3]
+                if pid % stride == 0 or stride == 1:
+                    f_rows.append((pid, wkb.encode(wkb.point(j * step + 70.0, i * step + d))))
+                    c_rows.append((pid, wkb.encode(wkb.point(j * step + 50.0, i * step + (pid % 12)))))
+                pid += 1
     facility = spark.createDataFrame(f_rows, poly_schema("facility"))
     crossing = spark.createDataFrame(c_rows, poly_schema("crossing"))
 

@@ -68,48 +68,68 @@ def _facility_cond(poly: bool = False) -> Column:
     )
 
 
-def building_layer(osm_polygon: DataFrame) -> DataFrame:
+def _sel(df: DataFrame, src: str, keep_source: bool):
+    """geom (+ optional (src, osm_id) lineage for scalable id assignment:
+    node/way id namespaces overlap, so the branch tag disambiguates)."""
+    cols = [F.col("way").alias("geom")]
+    if keep_source:
+        cols = [F.lit(src).alias("src"), F.col("osm_id")] + cols
+    return df.select(*cols)
+
+
+def building_layer(osm_polygon: DataFrame, keep_source: bool = False) -> DataFrame:
     """core/import_step.py:434-441."""
-    return osm_polygon.filter(F.col("building").isNotNull()).select(
-        F.col("way").alias("geom")
+    return _sel(
+        osm_polygon.filter(F.col("building").isNotNull()), "polygon", keep_source
     )
 
 
 def crossing_layer(
-    osm_point: DataFrame, osm_line: DataFrame, osm_polygon: DataFrame
+    osm_point: DataFrame, osm_line: DataFrame, osm_polygon: DataFrame,
+    keep_source: bool = False,
 ) -> DataFrame:
     """core/import_step.py:449-456 — point ∪ line ∪ polygon crossings (U1)."""
-    sel = lambda df: df.filter(F.col("highway").isin(["crossing"])).select(
-        F.col("way").alias("geom")
+    cond = F.col("highway").isin(["crossing"])
+    return (
+        _sel(osm_point.filter(cond), "point", keep_source)
+        .unionByName(_sel(osm_line.filter(cond), "line", keep_source))
+        .unionByName(_sel(osm_polygon.filter(cond), "polygon", keep_source))
     )
-    return sel(osm_point).unionByName(sel(osm_line)).unionByName(sel(osm_polygon))
 
 
-def facility_layer(osm_point: DataFrame, osm_polygon: DataFrame) -> DataFrame:
+def facility_layer(
+    osm_point: DataFrame, osm_polygon: DataFrame, keep_source: bool = False
+) -> DataFrame:
     """core/import_step.py:464-497."""
-    pts = osm_point.filter(_facility_cond(False)).select(F.col("way").alias("geom"))
-    polys = osm_polygon.filter(_facility_cond(True)).select(F.col("way").alias("geom"))
+    pts = _sel(osm_point.filter(_facility_cond(False)), "point", keep_source)
+    polys = _sel(osm_polygon.filter(_facility_cond(True)), "polygon", keep_source)
     return pts.unionByName(polys)
 
 
-def greenness_layer(osm_polygon: DataFrame) -> DataFrame:
+def greenness_layer(osm_polygon: DataFrame, keep_source: bool = False) -> DataFrame:
     """core/import_step.py:505-514."""
-    return osm_polygon.filter(
-        F.col("landuse").isin(GREEN_LANDUSE)
-        | F.col("leisure").isin(GREEN_LEISURE)
-        | F.col("natural").isin(GREEN_NATURAL)
-    ).select(F.col("way").alias("geom"))
+    return _sel(
+        osm_polygon.filter(
+            F.col("landuse").isin(GREEN_LANDUSE)
+            | F.col("leisure").isin(GREEN_LEISURE)
+            | F.col("natural").isin(GREEN_NATURAL)
+        ),
+        "polygon",
+        keep_source,
+    )
 
 
-def water_layer(osm_line: DataFrame, osm_polygon: DataFrame) -> DataFrame:
+def water_layer(
+    osm_line: DataFrame, osm_polygon: DataFrame, keep_source: bool = False
+) -> DataFrame:
     """core/import_step.py:522-528 — line ∪ polygon, tunnels excluded."""
     cond = (F.col("waterway").isNotNull() | (F.col("natural") == "water")) & F.col(
         "tunnel"
     ).isNull()
-    lines = osm_line.filter(cond).select(
-        F.col("way").alias("geom"), F.lit("line").alias("geom_type")
+    lines = _sel(osm_line.filter(cond), "line", keep_source).withColumn(
+        "geom_type", F.lit("line")
     )
-    polys = osm_polygon.filter(cond).select(
-        F.col("way").alias("geom"), F.lit("polygon").alias("geom_type")
+    polys = _sel(osm_polygon.filter(cond), "polygon", keep_source).withColumn(
+        "geom_type", F.lit("polygon")
     )
     return lines.unionByName(polys)

@@ -255,6 +255,27 @@ def test_explanation_json(spark, bike):
     assert exp["bicycle_infrastructure"] == pytest.approx(0.4, abs=1e-9)
 
 
+def test_explanation_json_null_entry_sorts_first(spark, bike):
+    # calculate_index.sql.j2:113 `ORDER BY weight DESC, indicator`: Postgres
+    # DESC is NULLS FIRST, so an indicator whose score CASE fell through
+    # (NULL contribution, here the unmapped road_category) must LEAD the
+    # JSON object with a null value, before every real contribution.
+    df = make_edge(
+        spark,
+        bicycle_infrastructure_ft="bicycle_way",
+        bicycle_infrastructure_tf="bicycle_way",
+        road_category="mystery",
+    )
+    r = one(attach_index(df, bike, compute_explanation=True))
+    import json
+
+    assert r["index_bike_ft"] is None  # NULL score poisons the index
+    exp = json.loads(r["index_bike_ft_explanation"])
+    assert list(exp.keys()) == ["road_category", "bicycle_infrastructure"]
+    assert exp["road_category"] is None
+    assert exp["bicycle_infrastructure"] == pytest.approx(0.4, abs=1e-9)
+
+
 def test_compile_mapping_null_key_and_default(spark):
     resolve = lambda name: F.col(name)
     df = spark.createDataFrame(

@@ -72,8 +72,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    # SPARK_GRAFT_OPS: comma list restricting which ops are timed (the big
+    # >=2M-edge amortization run only needs the ops whose 100k ratio is
+    # contested).  network_build always runs (everything needs edges).
+    only = os.environ.get("SPARK_GRAFT_OPS")
+    only_set = set(only.split(",")) if only else None
 
     def timed(name, fn):
+        if only_set is not None and name != "network_build" and name not in only_set:
+            return None
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 2)
@@ -95,10 +102,32 @@ def main() -> None:
     n_edges = timed("network_build", _net)
     print(f"  n_edges={n_edges}", file=sys.stderr)
 
-    layers = fixtures.scaled_layers(spark, scale, dem_cell=100.0)
+    _OP_LAYERS = {
+        "elevation_gradient": {"dem"},
+        "facilities": {"facility"},
+        "crossings": {"crossing"},
+        "buildings": {"building"},
+        "greenness": {"greenness"},
+        "water": {"water"},
+        "noise": {"noise"},
+        "attributes_full_score": {
+            "facility", "crossing", "building", "greenness", "water", "noise", "dem"
+        },
+    }
+    lf = None
+    if only_set is not None:
+        lf = set()
+        for op in only_set:
+            lf |= _OP_LAYERS.get(op.removesuffix("_austria_density"), set())
+    layers = fixtures.scaled_layers(spark, scale, dem_cell=100.0, layer_filter=lf)
     cell = 200.0
 
-    base = ATTR.base_attributes(edges).localCheckpoint()
+    base_ops = {"access_attrs", "infrastructure", "road_category_speed", "elevation_gradient"}
+    base = (
+        ATTR.base_attributes(edges).localCheckpoint()
+        if only_set is None or (only_set & base_ops)
+        else None
+    )
     timed("access_attrs", lambda: base.select(
         "edge_id", "access_car_ft", "access_bicycle_ft", "access_pedestrian_ft"
     ).count())
@@ -130,15 +159,17 @@ def main() -> None:
     # Austria has ~0.03-0.08 amenities/crossings per edge and far sparser
     # rivers than the dense synthetic city; run the three density-sensitive
     # ops again at that density so both numbers are on the record.
-    at_layers = fixtures.scaled_layers(
-        spark, scale, dem_cell=100.0, point_density=1.0 / 12.0, water_density=0.25
-    )
-    timed("facilities_austria_density", lambda: ATTR.proximity_ratio(
-        edges, at_layers["facility"], "facility_id", 30.0, cell).count())
-    timed("crossings_austria_density", lambda: ATTR.proximity_ratio(
-        edges, at_layers["crossing"], "crossing_id", 10.0, cell).count())
-    timed("water_austria_density", lambda: ATTR.water_flag(
-        edges, at_layers["water"], cell).count())
+    if only_set is None or any(o.endswith("_austria_density") for o in only_set):
+        at_layers = fixtures.scaled_layers(
+            spark, scale, dem_cell=100.0, point_density=1.0 / 12.0,
+            water_density=0.25, layer_filter=lf,
+        )
+        timed("facilities_austria_density", lambda: ATTR.proximity_ratio(
+            edges, at_layers["facility"], "facility_id", 30.0, cell).count())
+        timed("crossings_austria_density", lambda: ATTR.proximity_ratio(
+            edges, at_layers["crossing"], "crossing_id", 10.0, cell).count())
+        timed("water_austria_density", lambda: ATTR.water_flag(
+            edges, at_layers["water"], cell).count())
 
     def _score():
         attrs, _ = ATTR.build_attributes(
