@@ -240,8 +240,11 @@ def run_settings(
             exp = settings["export"]
             _require_keys(exp, ["type"], "error: export section is missing:")
             on_existing = _on_existing(exp)
-            fn = exp.get("filename", f"netascore_{case_id}.gpkg").replace(
-                "<case_id>", case_id
+            # reference filename placeholders (export_step.py): <case_id>, <srid>
+            fn = (
+                exp.get("filename", f"netascore_{case_id}.gpkg")
+                .replace("<case_id>", case_id)
+                .replace("<srid>", str(target_srid))
             )
             fn = fn if os.path.isabs(fn) else os.path.join(base_path, fn)
             if exp["type"] == "geopackage":
@@ -256,9 +259,10 @@ def run_settings(
                         out["export_path"] = fn
                         return out
                     os.remove(fn)
+                # -lco FID=edge_id|node_id parity: the id IS the feature id
                 write_geopackage(
                     out["export_edge"], fn, "edge", geometry_type="LINESTRING",
-                    srid=target_srid,
+                    srid=target_srid, fid_col="edge_id",
                 )
                 n_nodes = write_geopackage(
                     out["export_node"].withColumn(
@@ -267,6 +271,7 @@ def run_settings(
                         _point_wkb_udf()("x", "y"),
                     ),
                     fn, "node", geometry_type="POINT", srid=target_srid,
+                    fid_col="node_id",
                 )
                 _log(f"wrote {fn} ({n_nodes} nodes)", 2)
             elif exp["type"] == "parquet":

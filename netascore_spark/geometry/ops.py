@@ -545,8 +545,13 @@ def _ring_closed(ring: np.ndarray) -> bool:
 def _ear_triangulate(ring: np.ndarray) -> list[np.ndarray]:
     """Simple closed ring -> disjoint CCW triangles covering it exactly.
 
-    Standard ear clipping with collinear-vertex removal; degrades to a fan
-    (exact for convex/star inputs) if numeric trouble leaves no ear.
+    Standard ear clipping with collinear-vertex removal.  On a numeric dead
+    end (no ear passes the containment test): a CONVEX remainder fans
+    exactly; a concave remainder retries the ear search with the relaxed
+    boundary tolerance (vertices exactly on an ear edge no longer block it)
+    and, if still stuck, raises — an unsigned fan of a concave ring would
+    yield OVERLAPPING triangles and silently overcount downstream
+    union_area/union_area_in_region.
     """
     pts = ring[:-1] if _ring_closed(ring) else ring
     pts = np.asarray(pts, dtype=float)
@@ -554,8 +559,6 @@ def _ear_triangulate(ring: np.ndarray) -> list[np.ndarray]:
         return []
     if ring_signed_area(np.vstack([pts, pts[:1]])) < 0:
         pts = pts[::-1]
-    idx = list(range(len(pts)))
-    tris: list[np.ndarray] = []
 
     def _cross(a, b, c):
         return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
@@ -565,47 +568,72 @@ def _ear_triangulate(ring: np.ndarray) -> list[np.ndarray]:
             _cross(a, b, p) > eps and _cross(b, c, p) > eps and _cross(c, a, p) > eps
         )
 
-    guard = 0
-    while len(idx) > 3 and guard < 4 * len(pts) ** 2:
-        guard += 1
-        n = len(idx)
-        found = False
-        for k in range(n):
-            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
-            a, b, c = pts[i0], pts[i1], pts[i2]
-            cr = _cross(a, b, c)
-            if abs(cr) <= EPS:  # collinear vertex: drop it, no triangle
+    def _fan(idx):
+        out = []
+        o = pts[idx[0]]
+        for k in range(1, len(idx) - 1):
+            t = np.array([o, pts[idx[k]], pts[idx[k + 1]]])
+            s = ring_signed_area(np.vstack([t, t[:1]]))
+            if abs(s) > EPS:
+                out.append(t if s > 0 else t[::-1])
+        return out
+
+    def _clip(idx, tol):
+        """Ear-clip until done or stuck; returns (triangles, remaining idx)."""
+        tris: list[np.ndarray] = []
+        guard = 0
+        while len(idx) > 3 and guard < 4 * len(pts) ** 2:
+            guard += 1
+            n = len(idx)
+            found = False
+            for k in range(n):
+                i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+                a, b, c = pts[i0], pts[i1], pts[i2]
+                cr = _cross(a, b, c)
+                if abs(cr) <= EPS:  # collinear vertex: drop it, no triangle
+                    idx.pop(k)
+                    found = True
+                    break
+                if cr < 0:  # reflex
+                    continue
+                if any(
+                    _in_tri(pts[j], a, b, c, tol)
+                    for j in idx
+                    if j not in (i0, i1, i2)
+                ):
+                    continue
+                tris.append(np.array([a, b, c]))
                 idx.pop(k)
                 found = True
                 break
-            if cr < 0:  # reflex
-                continue
-            if any(
-                _in_tri(pts[j], a, b, c, -EPS)
-                for j in idx
-                if j not in (i0, i1, i2)
-            ):
-                continue
-            tris.append(np.array([a, b, c]))
-            idx.pop(k)
-            found = True
-            break
-        if not found:  # numeric dead end: fan the remainder (exact for convex)
-            o = pts[idx[0]]
-            for k in range(1, len(idx) - 1):
-                t = np.array([o, pts[idx[k]], pts[idx[k + 1]]])
-                if abs(ring_signed_area(np.vstack([t, t[:1]]))) > EPS:
-                    if ring_signed_area(np.vstack([t, t[:1]])) < 0:
-                        t = t[::-1]
-                    tris.append(t)
-            return tris
-    if len(idx) == 3:
-        t = np.array([pts[idx[0]], pts[idx[1]], pts[idx[2]]])
-        if abs(ring_signed_area(np.vstack([t, t[:1]]))) > EPS:
-            if ring_signed_area(np.vstack([t, t[:1]])) < 0:
-                t = t[::-1]
-            tris.append(t)
-    return tris
+            if not found:
+                return tris, idx
+        if len(idx) == 3:
+            t = np.array([pts[idx[0]], pts[idx[1]], pts[idx[2]]])
+            if abs(ring_signed_area(np.vstack([t, t[:1]]))) > EPS:
+                if ring_signed_area(np.vstack([t, t[:1]])) < 0:
+                    t = t[::-1]
+                tris.append(t)
+            idx = []
+        return tris, idx
+
+    tris, rest = _clip(list(range(len(pts))), -EPS)
+    if not rest:
+        return tris
+    rem = np.vstack([pts[rest], pts[rest[0]][None, :]])
+    if _is_convex_ring(rem):
+        return tris + _fan(rest)
+    more, rest2 = _clip(rest, EPS)  # boundary-touching vertices allowed
+    tris += more
+    if not rest2:
+        return tris
+    rem2 = np.vstack([pts[rest2], pts[rest2[0]][None, :]])
+    if _is_convex_ring(rem2):
+        return tris + _fan(rest2)
+    raise ValueError(
+        f"ear triangulation stuck on a concave {len(rest2)}-vertex remainder "
+        "(self-intersecting or numerically degenerate ring)"
+    )
 
 
 def _clip_halfplane(poly: np.ndarray, a: np.ndarray, edge: np.ndarray, keep_left: bool) -> np.ndarray:

@@ -485,6 +485,159 @@ def line_segments_udf():
     return _segs
 
 
+def explode_segments(lines: DataFrame, line_id: str) -> DataFrame:
+    """lines(line_id, geom WKB) -> one row per segment (sx1,sy1,sx2,sy2).
+    The single python pass of the native point-vs-line joins — O(|lines|),
+    never per candidate."""
+    return (
+        spread(lines.select(line_id, "geom"))
+        .select(line_id, F.explode(line_segments_udf()(F.col("geom"))).alias("__s"))
+        .select(line_id, "__s.sx1", "__s.sy1", "__s.sx2", "__s.sy2")
+    )
+
+
+def segment_cover(segs: DataFrame, radius: float, cell_size: float) -> DataFrame:
+    """Explode segment rows to their radius-padded bbox cell cover — native
+    sequence+explode, no python.  A (point, segment) pair meets in exactly
+    one cell (points keep their single cell), so no pair-dedup is needed."""
+    r = F.lit(float(radius))
+    return (
+        segs.withColumn(
+            "__ix",
+            F.explode(
+                F.sequence(
+                    F.floor((F.least("sx1", "sx2") - r) / F.lit(cell_size)).cast("long"),
+                    F.floor((F.greatest("sx1", "sx2") + r) / F.lit(cell_size)).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "__iy",
+            F.explode(
+                F.sequence(
+                    F.floor((F.least("sy1", "sy2") - r) / F.lit(cell_size)).cast("long"),
+                    F.floor((F.greatest("sy1", "sy2") + r) / F.lit(cell_size)).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "cell",
+            F.shiftleft(F.col("__ix") + F.lit(grid._B), grid._SHIFT).bitwiseOR(
+                F.col("__iy") + F.lit(grid._B)
+            ),
+        )
+        .drop("__ix", "__iy")
+    )
+
+
+def point_segment_dist_expr() -> Column:
+    """Exact point-to-segment distance as a native Column over columns
+    (px, py, sx1, sy1, sx2, sy2) — term-for-term ops.points_line_dist
+    (t = clip(ap.ab/den), den substituted 1.0 for degenerate segments,
+    EPS^2 = 1e-18), so results are bit-identical to the pandas refine."""
+    dx = F.col("sx2") - F.col("sx1")
+    dy = F.col("sy2") - F.col("sy1")
+    den = dx * dx + dy * dy
+    den = F.when(den <= F.lit(1e-18), F.lit(1.0)).otherwise(den)
+    t = F.least(
+        F.greatest(
+            ((F.col("px") - F.col("sx1")) * dx + (F.col("py") - F.col("sy1")) * dy) / den,
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    ddx = F.col("px") - (F.col("sx1") + t * dx)
+    ddy = F.col("py") - (F.col("sy1") + t * dy)
+    return F.sqrt(ddx * ddx + ddy * ddy)
+
+
+_RING_EDGE_TYPE = T.ArrayType(
+    T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("x1", T.DoubleType()),
+                T.StructField("y1", T.DoubleType()),
+                T.StructField("x2", T.DoubleType()),
+                T.StructField("y2", T.DoubleType()),
+            ]
+        )
+    )
+)
+
+
+def polygon_rings_udf():
+    """WKB polygon -> array (per ring) of arrays of edges (x1,y1,x2,y2).
+    One O(|polygons|) Arrow pass; downstream PIP is pure native HOFs."""
+
+    @F.pandas_udf(_RING_EDGE_TYPE)
+    def _rings(geoms: pd.Series) -> pd.Series:
+        out = []
+        for g in geoms:
+            if g is None:
+                out.append(None)
+                continue
+            kind, rings = wkb.decode(bytes(g))
+            if kind != "Polygon":
+                raise ValueError(f"polygon_rings_udf: expected Polygon, got {kind}")
+            out.append(
+                [
+                    [
+                        (float(r[i, 0]), float(r[i, 1]), float(r[i + 1, 0]), float(r[i + 1, 1]))
+                        for i in range(len(r) - 1)
+                    ]
+                    for r in rings
+                ]
+            )
+        return pd.Series(out)
+
+    return _rings
+
+
+def pip_expr(px: Column, py: Column, rings: Column) -> Column:
+    """ST_Contains(point) as a pure native expression over the ring-edge
+    arrays (polygon_rings_udf) — term-for-term ops.point_in_polygon /
+    point_in_ring: ray-cast parity with the half-open rule, boundary within
+    EPS counts inside (exterior) / not-excluded (holes).  Runs entirely
+    JVM-side per candidate row: no python, no shuffle."""
+    eps = F.lit(ops.EPS)
+
+    def seg_dist(e):
+        dx = e["x2"] - e["x1"]
+        dy = e["y2"] - e["y1"]
+        den = dx * dx + dy * dy
+        den = F.when(den <= F.lit(1e-18), F.lit(1.0)).otherwise(den)
+        t = F.least(
+            F.greatest(((px - e["x1"]) * dx + (py - e["y1"]) * dy) / den, F.lit(0.0)),
+            F.lit(1.0),
+        )
+        ddx = px - (e["x1"] + t * dx)
+        ddy = py - (e["y1"] + t * dy)
+        return F.sqrt(ddx * ddx + ddy * ddy)
+
+    def crossing(e):
+        # half-open rule (yi > y) != (yj > y), then x < x-intercept
+        opens = (e["y1"] > py) != (e["y2"] > py)
+        xint = (e["x2"] - e["x1"]) * (py - e["y1"]) / (e["y2"] - e["y1"]) + e["x1"]
+        return opens & (px < xint)
+
+    def on_boundary(ring):
+        return F.exists(ring, lambda e: seg_dist(e) <= eps)
+
+    def odd_crossings(ring):
+        cnt = F.aggregate(
+            ring,
+            F.lit(0),
+            lambda acc, e: acc + F.when(crossing(e), F.lit(1)).otherwise(F.lit(0)),
+        )
+        return cnt % 2 == 1
+
+    exterior = rings[0]
+    inside0 = on_boundary(exterior) | odd_crossings(exterior)
+    holes = F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0)))
+    in_hole = F.exists(holes, lambda h: ~on_boundary(h) & odd_crossings(h))
+    return inside0 & ~F.coalesce(in_hole, F.lit(False))
+
+
 def dwithin_point_line_native(
     points: DataFrame,
     lines: DataFrame,
@@ -515,58 +668,11 @@ def dwithin_point_line_native(
         .filter(F.col("px").isNotNull())
         .withColumn("cell", point_cell_expr(F.col("px"), F.col("py"), cell_size))
     )
-    segs = (
-        spread(lines.select(line_id, "geom"))
-        .select(line_id, F.explode(line_segments_udf()(F.col("geom"))).alias("__s"))
-        .select(line_id, "__s.sx1", "__s.sy1", "__s.sx2", "__s.sy2")
-    )
-    r = F.lit(float(radius))
-    segs = (
-        segs.withColumn(
-            "__ix",
-            F.explode(
-                F.sequence(
-                    F.floor((F.least("sx1", "sx2") - r) / F.lit(cell_size)).cast("long"),
-                    F.floor((F.greatest("sx1", "sx2") + r) / F.lit(cell_size)).cast("long"),
-                )
-            ),
-        )
-        .withColumn(
-            "__iy",
-            F.explode(
-                F.sequence(
-                    F.floor((F.least("sy1", "sy2") - r) / F.lit(cell_size)).cast("long"),
-                    F.floor((F.greatest("sy1", "sy2") + r) / F.lit(cell_size)).cast("long"),
-                )
-            ),
-        )
-        .withColumn(
-            "cell",
-            F.shiftleft(F.col("__ix") + F.lit(grid._B), grid._SHIFT).bitwiseOR(
-                F.col("__iy") + F.lit(grid._B)
-            ),
-        )
-        .drop("__ix", "__iy")
-    )
+    segs = segment_cover(explode_segments(lines, line_id), radius, cell_size)
     cand = pts.join(segs, "cell")
-    # exact refine, term-for-term ops.points_line_dist: t = clip(ap.ab/den),
-    # den substituted with 1.0 for degenerate segments (EPS^2 = 1e-18)
-    dx = F.col("sx2") - F.col("sx1")
-    dy = F.col("sy2") - F.col("sy1")
-    den = dx * dx + dy * dy
-    den = F.when(den <= F.lit(1e-18), F.lit(1.0)).otherwise(den)
-    t = F.least(
-        F.greatest(
-            ((F.col("px") - F.col("sx1")) * dx + (F.col("py") - F.col("sy1")) * dy) / den,
-            F.lit(0.0),
-        ),
-        F.lit(1.0),
-    )
-    ddx = F.col("px") - (F.col("sx1") + t * dx)
-    ddy = F.col("py") - (F.col("sy1") + t * dy)
     # sqrt() <= radius (not d2 <= r^2): matches the pandas refine's compare
     # on the rooted distance, so boundary ulps can't flip between the paths
-    hits = cand.filter(F.sqrt(ddx * ddx + ddy * ddy) <= r)
+    hits = cand.filter(point_segment_dist_expr() <= F.lit(float(radius)))
     return hits.select(line_id, point_id).distinct()
 
 

@@ -22,6 +22,7 @@ from netascore_spark.functions import access as ACC
 from netascore_spark.functions import attributes as A
 from netascore_spark.geometry import ops, wkb
 from netascore_spark.operators import spatial
+from netascore_spark.pipeline import cache
 
 DEM_CELL = 10.0  # fixture DEM grid resolution (meters)
 
@@ -266,9 +267,12 @@ def buffer_overlay_ratio(
 def water_flag(edges: DataFrame, water: DataFrame, cell_size: float) -> DataFrame:
     # persist: BOTH branches (line length-ratio, polygon intersects) scan the
     # buffers — without it the buffer UDF runs twice over every edge
-    buffers = edges.select(
-        "edge_id", "length", spatial.buffer_udf(30.0, "flat")(F.col("geom")).alias("geom")
-    ).persist()
+    buffers = cache.track(
+        edges.select(
+            "edge_id", "length",
+            spatial.buffer_udf(30.0, "flat")(F.col("geom")).alias("geom"),
+        ).persist()
+    )
     lines = water.filter(F.col("geom_type") == "line")
     polys = water.filter(F.col("geom_type") == "polygon")
 

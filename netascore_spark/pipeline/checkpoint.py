@@ -1,28 +1,35 @@
-"""Per-stage snapshot checkpointing with per-partition lineage metrics.
+"""Per-stage versioned snapshot checkpointing with lineage metrics.
 
 Re-realizes the reference's resume mechanism — ``on_existing ∈ {skip,
 delete, abort}`` artifact gating (toolbox/dbhelper.py:270-289) and the
 ``--skip`` stage flags (generate_index.py:20-21) — as snapshot-on-parquet
-(Iceberg-shaped: the directory layout and metrics sidecar map 1:1 onto an
-Iceberg table + snapshot summary when an Iceberg catalog is configured; this
-container has no Iceberg runtime, so the parquet writer is the bundled
-backend).
+with Iceberg-style semantics (this container has no Iceberg runtime, so the
+layout below is the bundled backend; it maps 1:1 onto an Iceberg table when
+a catalog is configured):
 
-Each materialized stage records a lineage sidecar
-``<base>/_lineage/<name>.json``:
-- row count, schema, upstream stage names (lineage),
-- per-partition row counts (skew evidence — the north rule's
-  "per-partition lineage + row-count metrics"),
-- wall-clock duration.
+- every materialization writes a NEW immutable version directory
+  ``<base>/<name>/v<NNN>/`` (never in-place overwrite: readers of an older
+  snapshot are never disturbed — snapshot isolation);
+- a manifest ``<base>/_lineage/<name>.versions.json`` lists all snapshots
+  (version, commit epoch, rows, schema, upstream lineage) and the current
+  pointer — the Iceberg metadata-file analog;
+- :meth:`read` accepts ``version=`` or ``as_of=`` (epoch seconds) — time
+  travel;
+- :meth:`expire_snapshots` prunes old version dirs (Iceberg
+  ``expireSnapshots``).
 
-``resume=skip`` (default) makes re-runs read the snapshot instead of
-recomputing — resume-from-checkpoint mid-pipeline.
+Each snapshot also records per-partition row counts (skew evidence — the
+north rule's "per-partition lineage + row-count metrics") and wall-clock
+duration.  ``on_existing=skip`` (default) makes re-runs read the current
+snapshot instead of recomputing — resume-from-checkpoint mid-pipeline;
+``delete`` appends a new version (old ones stay time-travelable).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,14 +48,79 @@ class Checkpointer:
         self.on_existing = on_existing
         os.makedirs(os.path.join(base_dir, "_lineage"), exist_ok=True)
 
-    def _path(self, name: str) -> str:
+    # -- paths -------------------------------------------------------------
+
+    def _table_dir(self, name: str) -> str:
         return os.path.join(self.base_dir, name)
+
+    def _version_dir(self, name: str, version: int) -> str:
+        return os.path.join(self._table_dir(name), f"v{version:03d}")
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.base_dir, "_lineage", f"{name}.versions.json")
 
     def _meta_path(self, name: str) -> str:
         return os.path.join(self.base_dir, "_lineage", f"{name}.json")
 
+    # -- manifest ----------------------------------------------------------
+
+    def _manifest(self, name: str) -> dict | None:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, name: str, manifest: dict) -> None:
+        tmp = self._manifest_path(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        os.replace(tmp, self._manifest_path(name))  # atomic pointer swap
+
+    def snapshots(self, name: str) -> list[dict]:
+        """All committed snapshots, oldest first (Iceberg .snapshots)."""
+        m = self._manifest(name)
+        return list(m["snapshots"]) if m else []
+
+    # -- existence / resolve ----------------------------------------------
+
     def exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+        m = self._manifest(name)
+        if m is not None:
+            cur = self._version_dir(name, m["current"])
+            return os.path.exists(os.path.join(cur, "_SUCCESS"))
+        # legacy layout (pre-versioning): data directly under <base>/<name>
+        return os.path.exists(os.path.join(self._table_dir(name), "_SUCCESS"))
+
+    def _resolve(self, name: str, version: int | None, as_of: float | None) -> str:
+        m = self._manifest(name)
+        if m is None:
+            legacy = self._table_dir(name)
+            if os.path.exists(os.path.join(legacy, "_SUCCESS")):
+                if version is not None or as_of is not None:
+                    raise RuntimeError(
+                        f"checkpoint '{name}' is a legacy single-version "
+                        "snapshot; no time travel available"
+                    )
+                return legacy
+            raise RuntimeError(
+                f"checkpoint '{name}' not found under {self.base_dir}; "
+                "cannot skip a stage whose snapshot was never materialized"
+            )
+        if version is None and as_of is not None:
+            eligible = [s for s in m["snapshots"] if s["committed_at_epoch"] <= as_of]
+            if not eligible:
+                raise RuntimeError(
+                    f"no snapshot of '{name}' committed at or before {as_of}"
+                )
+            version = eligible[-1]["version"]
+        if version is None:
+            version = m["current"]
+        if not any(s["version"] == version for s in m["snapshots"]):
+            raise RuntimeError(f"snapshot v{version} of '{name}' does not exist")
+        return self._version_dir(name, version)
+
+    # -- write / read ------------------------------------------------------
 
     def materialize(
         self,
@@ -57,23 +129,35 @@ class Checkpointer:
         upstream: list[str] | None = None,
         partition_by: list[str] | None = None,
     ) -> DataFrame:
-        """Write (or reuse) the snapshot for ``name`` and return a reader."""
+        """Commit a snapshot for ``name`` and return a reader.
+
+        ``on_existing=skip``: reuse the current snapshot.  ``delete``:
+        commit a NEW version (old versions stay readable via time travel).
+        ``abort``: refuse if any version exists."""
         if self.exists(name):
             if self.on_existing == "skip":
-                return self.spark.read.parquet(self._path(name))
+                return self.read(name)
             if self.on_existing == "abort":
                 raise RuntimeError(
                     f"output '{name}' exists and on_existing=abort "
                     "(dbhelper.py:270-289 semantics)"
                 )
-            # delete: fall through and overwrite
+            # delete: fall through and commit the next version
+
+        m = self._manifest(name) or {"current": 0, "snapshots": []}
+        version = (
+            max((s["version"] for s in m["snapshots"]), default=0) + 1
+            if m["snapshots"]
+            else 1
+        )
 
         t0 = time.time()
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self._path(name))
-        out = self.spark.read.parquet(self._path(name))
+        path = self._version_dir(name, version)
+        writer.parquet(path)
+        out = self.spark.read.parquet(path)
 
         part_counts = [
             r["cnt"]
@@ -84,6 +168,7 @@ class Checkpointer:
         ]
         meta = {
             "name": name,
+            "version": version,
             "rows": int(sum(part_counts)),
             "partitions": len(part_counts),
             "partition_rows": part_counts,
@@ -96,19 +181,41 @@ class Checkpointer:
             "upstream": upstream or [],
             "duration_sec": round(time.time() - t0, 3),
             "written_at_epoch": int(t0),
+            "committed_at_epoch": time.time(),
         }
+        m["snapshots"].append(meta)
+        m["current"] = version
+        self._write_manifest(name, m)
+        # per-name lineage sidecar mirrors the CURRENT snapshot (back-compat)
         with open(self._meta_path(name), "w") as fh:
             json.dump(meta, fh, indent=2)
         return out
 
-    def read(self, name: str) -> DataFrame:
-        """Reader for an existing snapshot (resume path for ``--skip``)."""
-        if not self.exists(name):
-            raise RuntimeError(
-                f"checkpoint '{name}' not found under {self.base_dir}; "
-                "cannot skip a stage whose snapshot was never materialized"
-            )
-        return self.spark.read.parquet(self._path(name))
+    def read(
+        self, name: str, version: int | None = None, as_of: float | None = None
+    ) -> DataFrame:
+        """Reader for a snapshot: current (default), a specific ``version``,
+        or the latest committed at-or-before ``as_of`` epoch seconds."""
+        return self.spark.read.parquet(self._resolve(name, version, as_of))
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions; returns dropped
+        version numbers (Iceberg expireSnapshots semantics — the current
+        pointer is never dropped)."""
+        m = self._manifest(name)
+        if m is None:
+            return []
+        snaps = sorted(m["snapshots"], key=lambda s: s["version"])
+        keep = {s["version"] for s in snaps[-max(keep_last, 1):]} | {m["current"]}
+        dropped = []
+        for s in snaps:
+            v = s["version"]
+            if v not in keep:
+                shutil.rmtree(self._version_dir(name, v), ignore_errors=True)
+                dropped.append(v)
+        m["snapshots"] = [s for s in snaps if s["version"] not in set(dropped)]
+        self._write_manifest(name, m)
+        return dropped
 
     def lineage(self, name: str) -> dict:
         with open(self._meta_path(name)) as fh:

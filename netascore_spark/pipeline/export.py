@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from netascore_spark.pipeline import attributes as ATTR
+from netascore_spark.pipeline import cache as CACHE
 from netascore_spark.pipeline import network as NET
 from netascore_spark.pipeline.checkpoint import Checkpointer
 from netascore_spark.plans.profile import Profile, attach_index
@@ -102,6 +103,12 @@ def run_pipeline(
                  ["network_edge", "network_edge_attributes", "network_edge_index"])
     exp_n = snap(export_node(nodes, node_attrs), "export_node",
                  ["network_node", "network_node_attributes"])
+
+    if ckpt is not None:
+        # every returned frame now reads from checkpoint parquet — the
+        # builders' internal caches (cell covers, split edges, buffers) are
+        # dead weight for the rest of the session
+        CACHE.release_all()
 
     return {
         "network_edge": edges,

@@ -27,6 +27,7 @@ from netascore_spark.functions import vocab
 from netascore_spark.geometry import ops, wkb
 from netascore_spark.operators import ids as ids_op
 from netascore_spark.operators import spatial
+from netascore_spark.pipeline import cache
 
 _EPS_PT = 1e-7  # point-equality tolerance for constructed intersections
 NODE_DECIMALS = 6  # node-identity coordinate rounding (µm-scale in meters)
@@ -149,7 +150,9 @@ def intersections(lp: DataFrame, cell_size: float) -> DataFrame:
     # persist the exploded cover: both join sides project from it, and
     # without a materialization the cover UDF would run twice over every way
     # (aliased projections defeat ReuseExchange)
-    lc = spatial.with_cells(lp.select(*attrs, "geom"), "geom", cell_size).persist()
+    lc = cache.track(
+        spatial.with_cells(lp.select(*attrs, "geom"), "geom", cell_size).persist()
+    )
     a = lc.select(
         F.col("cell"), *[F.col(c).alias(f"{c}_1") for c in attrs], F.col("geom").alias("geom_1")
     )
@@ -453,7 +456,7 @@ def finalize_network(
     # persist: the node-dedup, the node id sampling and the final from/to
     # joins each scan this — without a cache the endpoint UDF (WKB decode
     # over every edge) re-runs 3-4x
-    edges = edges.persist()
+    edges = cache.track(edges.persist())
 
     nodes = (
         edges.select(F.col("fx").alias("x"), F.col("fy").alias("y"))
@@ -500,7 +503,7 @@ def build_network(
     targets = split_targets(inter)
     # persist: the indoor fixpoint and the id/node stages each launch jobs
     # over the split result — don't recompute the O(n^2) intersection work
-    corrected = split_edges(init, targets).persist()
+    corrected = cache.track(split_edges(init, targets).persist())
     if scalable_ids is None:
         # one full count: materializes the persist in a single job (the
         # fixpoint's collect and the id stages all reuse the cache)

@@ -3,12 +3,11 @@
 Input: an Iceberg/Parquet table ``pages(url, warc_ts, html, text, lang)`` at
 Common-Crawl scale.  Stages:
 
-1. ``extract_text``   — byte-identical HTML -> text extraction, Arrow-
-   vectorized (no per-row Python): the per-row invariant of the north rule.
-2. ``parse_geo``      — geocoordinate parsing from the page (vectorized
-   regex over the decoded HTML).
-3. ``encode_cells``   — batched cell encoding (H3-res-9-analog planar grid,
-   netascore_spark.grid).
+1. ``extract_page``   — byte-identical HTML -> text extraction + geo meta
+   parsing, ONE fused Arrow pass (no per-row Python): the per-row invariant
+   of the north rule.
+2. ``encode_cells``   — native cell encoding (H3-res-9-analog planar grid,
+   netascore_spark.grid) inside whole-stage codegen.
 4. ``join_polygons``  — point-in-polygon against land-use/admin polygons
    (cell equi-join + exact PIP refine; polygons broadcast).
 5. ``nearest_edges``  — cell-ring kNN to the nearest road segment(s):
@@ -23,7 +22,6 @@ the rest at runtime.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -31,8 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from netascore_spark import grid
-from netascore_spark.geometry import ops, wkb
 from netascore_spark.operators import spatial
+from netascore_spark.pipeline import cache
 
 # The fixture/Common-Crawl-style extraction target: the <main id="content">
 # element.  Vectorized regex via pandas .str — one Arrow batch at a time.
@@ -109,45 +107,33 @@ def join_polygons(
     cell_size: float = grid.DEFAULT_CELL_SIZE,
 ) -> DataFrame:
     """All (url, polygon_id, kind) containments.  Polygons broadcast (the
-    admin/landuse layer is tiny next to 10^12 pages)."""
+    admin/landuse layer is tiny next to 10^12 pages).
+
+    ZERO shuffles and zero python in the hot path: one Arrow pass converts
+    each polygon to ring-edge arrays (polygon_rings_udf), the cell cover is
+    broadcast-joined (a page holds exactly ONE cell, so a (url, polygon)
+    pair meets at most once — no dedup needed), and the exact PIP refine is
+    the native ray-cast HOF expression (spatial.pip_expr), bit-compatible
+    with ops.point_in_polygon."""
     pg = pages_geo.filter(F.col("cell").isNotNull()).select("url", "x", "y", "cell")
-    poly_cells = spatial.with_cells(
-        polygons.select("polygon_id", "kind", "geom"), "geom", cell_size
+    pr = polygons.select(
+        "polygon_id", "kind", "geom",
+        spatial.polygon_rings_udf()(F.col("geom")).alias("rings"),
     )
-    cand = pg.join(F.broadcast(poly_cells), "cell").dropDuplicates(["url", "polygon_id"])
-
-    @F.pandas_udf(T.BooleanType())
-    def pip(x: pd.Series, y: pd.Series, geom: pd.Series) -> pd.Series:
-        out = np.zeros(len(x), dtype=bool)
-        cache: dict[bytes, list] = {}
-        for i, (px, py, g) in enumerate(zip(x, y, geom)):
-            gb = bytes(g)
-            rings = cache.get(gb)
-            if rings is None:
-                rings = wkb.decode(gb)[1]
-                cache[gb] = rings
-            out[i] = ops.point_in_polygon(np.array([px, py]), rings)
-        return pd.Series(out)
-
-    # spread + nondeterministic refine: keeps the (python) PIP refine at full
-    # parallelism — byte-based AQE coalescing under-provisions UDF stages,
-    # and a deterministic UDF predicate would be pushed (and DUPLICATED)
-    # below the repartition
-    return (
-        spatial.spread(cand)
-        .filter(pip.asNondeterministic()(F.col("x"), F.col("y"), F.col("geom")))
-        .select("url", "polygon_id", "kind")
-    )
+    poly_cells = spatial.with_cells(pr, "geom", cell_size).drop("geom")
+    cand = pg.join(F.broadcast(poly_cells), "cell")
+    return cand.filter(
+        spatial.pip_expr(F.col("x"), F.col("y"), F.col("rings"))
+    ).select("url", "polygon_id", "kind")
 
 
 # ---------------------------------------------------------------------------
 # cell-ring kNN to nearest road segment
 # ---------------------------------------------------------------------------
 
-# Edge tables at or below this count may use the python-side broadcast
-# fast path (dict of edge_id -> WKB on every executor).  1e6 edges x ~150 B
-# is ~150 MB per python worker — the upper end of sane; anything bigger MUST
-# resolve geometry with the distributed edge_id join.
+# Edge tables at or below this count may broadcast their exploded segment
+# cover (7 numeric columns per covered cell) to every executor; anything
+# bigger MUST use the distributed cell join.
 BROADCAST_MAX_EDGES = 1_000_000
 
 # "auto" salting: cells holding more pages than this are pre-split across
@@ -166,18 +152,19 @@ def nearest_edges(
     salt_threshold: int | str | None = "auto",
     progressive: bool = True,
     geom_strategy: str = "join",
+    _segs: DataFrame | None = None,
+    _hot: list | None = None,
 ) -> DataFrame:
     """(url, edge_id, dist, rank<=k) for edges within ``radius``.
 
-    ``geom_strategy`` controls how candidate pairs get their edge geometry:
+    ``geom_strategy`` controls how the page side meets the edge segments:
 
-    - ``"join"`` (default, the 100 TB path): candidates — (url, x, y,
-      edge_id) only, no WKB in the cell shuffle — join back to the edge
-      table on ``edge_id``.  One extra shuffle of *candidate rows only*;
-      no driver collect, no per-executor geometry dict.
-    - ``"broadcast"``: collect edge geometries to a python-side broadcast
-      dict (fast when the edge table is provably small; refuses to run
-      above ``BROADCAST_MAX_EDGES``).
+    - ``"join"`` (default, the 100 TB path): distributed cell equi-join —
+      pages shuffle (url, px, py, cell) only; segments are plain numeric
+      rows (never WKB), no driver collect.
+    - ``"broadcast"``: broadcast the exploded segment cover to every
+      executor — the page side never shuffles (use when edges are provably
+      small; ``BROADCAST_MAX_EDGES`` bounds the auto decision).
     - ``"auto"``: bounded count, broadcast iff <= ``BROADCAST_MAX_EDGES``.
 
     ``salt_threshold``: ``"auto"`` (default) pre-splits cells holding more
@@ -196,32 +183,62 @@ def nearest_edges(
     """
     if progressive and radius > cell_size:
         p1 = cell_size / 2.0
-        phase1 = nearest_edges(
-            pages_geo, edges, k, p1, cell_size, salt_threshold,
-            progressive=False, geom_strategy=geom_strategy,
+        # hoist the shared work above both phases: ONE segment-explode Arrow
+        # pass (the covers differ by radius pad, but the segments don't) and
+        # ONE hot-cell histogram (phase 2's unresolved subset can only be
+        # less skewed; salting extra cells is result-identical)
+        segs_base = cache.track(
+            spatial.explode_segments(edges, "edge_id").persist()
+        )
+        hot: list = []
+        if salt_threshold:
+            thr = AUTO_SALT_THRESHOLD if salt_threshold == "auto" else salt_threshold
+            hot = spatial.hot_cells(
+                pages_geo.filter(F.col("x").isNotNull()), "cell", thr
+            )
+        # persist phase 1: it feeds THREE consumers (the kth aggregate, the
+        # resolved semi-join, and — through final_urls — the unresolved
+        # anti-join); uncached it would recompute the whole phase-1 join per
+        # consumer
+        phase1 = cache.track(
+            nearest_edges(
+                pages_geo, edges, k, p1, cell_size, salt_threshold,
+                progressive=False, geom_strategy=geom_strategy,
+                _segs=segs_base, _hot=hot,
+            ).persist()
         )
         kth = phase1.groupBy("url").agg(
             F.max("dist").alias("kth"), F.count("*").alias("n")
         )
-        final_urls = kth.filter((F.col("n") >= k) & (F.col("kth") <= p1)).select("url")
+        final_urls = cache.track(
+            kth.filter((F.col("n") >= k) & (F.col("kth") <= p1))
+            .select("url")
+            .persist()
+        )
         resolved = phase1.join(final_urls, "url", "left_semi")
         unresolved_pages = pages_geo.join(final_urls, "url", "left_anti")
         rest = nearest_edges(
             unresolved_pages, edges, k, radius, cell_size, salt_threshold,
             progressive=False, geom_strategy=geom_strategy,
+            _segs=segs_base, _hot=hot,
         )
         return resolved.unionByName(rest)
     # pad the EDGE side (the far smaller cover): each page keeps its single
-    # cell; edges explode to cells within `radius` of their linework — the
-    # same cell-ring guarantee at a fraction of the shuffled rows (pages are
-    # the 10^12 side at scale).
-    pg = pages_geo.filter(F.col("x").isNotNull()).select("url", "x", "y", "cell")
-    # spread BEFORE the cover explode: the edge table often arrives as a
-    # 1-3 partition cache (byte-coalesced), which would run the padded-cover
-    # UDF serially — a fixed serial cost that caps scaling of the whole kNN
-    ec = spatial.with_cells(
-        spatial.spread(edges.select("edge_id", "geom")), "geom", cell_size, pad=radius
-    ).select("cell", "edge_id")  # geometry re-attached after the cell join
+    # cell; edge SEGMENTS explode to cells within `radius` of their bbox —
+    # the same cell-ring guarantee at a fraction of the shuffled rows (pages
+    # are the 10^12 side at scale).  ZERO python in the hot path: the one
+    # Arrow pass extracts segments per edge (O(|edges|)); the cover explode,
+    # the cell join, the exact point-segment distance, and the k=1 min all
+    # run native inside whole-stage codegen (point_segment_dist_expr is
+    # term-for-term ops.points_line_dist, so distances are bit-identical to
+    # the former pandas refine).
+    pg = pages_geo.filter(F.col("x").isNotNull()).select(
+        "url", F.col("x").alias("px"), F.col("y").alias("py"), "cell"
+    )
+    segs = spatial.segment_cover(
+        _segs if _segs is not None else spatial.explode_segments(edges, "edge_id"),
+        radius, cell_size,
+    )
 
     if geom_strategy == "auto":
         n_bounded = edges.select("edge_id").limit(BROADCAST_MAX_EDGES + 1).count()
@@ -232,79 +249,32 @@ def nearest_edges(
     # more rows than that dominates its task on any cluster size, so the
     # threshold needs no total count.  When no cell is hot, the salting
     # machinery (string keys, edge-side replication) is skipped entirely.
+    # (the progressive wrapper precomputes the histogram once via _hot)
     join_key = "cell"
     if salt_threshold:
-        thr = AUTO_SALT_THRESHOLD if salt_threshold == "auto" else salt_threshold
-        hot = spatial.hot_cells(pg, "cell", thr)
+        if _hot is not None:
+            hot = _hot
+        else:
+            thr = AUTO_SALT_THRESHOLD if salt_threshold == "auto" else salt_threshold
+            hot = spatial.hot_cells(pg, "cell", thr)
         if hot:
-            pg, ec = spatial.salt_cells(pg, ec, hot)
+            pg, segs = spatial.salt_cells(pg, segs, hot)
             join_key = "cell_salt"
 
-    # each page carries exactly ONE cell, so a (url, edge) pair meets in at
-    # most one cell — no pair-dedup shuffle needed
-    cand = pg.join(ec, join_key)
-
     if geom_strategy == "broadcast":
-        # small-edge fast path: candidate rows carry only (url, x, y,
-        # edge_id) — ~10x less Arrow traffic than a WKB column per candidate.
-        geom_rows = edges.select("edge_id", "geom").limit(
-            BROADCAST_MAX_EDGES + 1
-        ).collect()
-        if len(geom_rows) > BROADCAST_MAX_EDGES:
-            raise ValueError(
-                f"geom_strategy='broadcast' with > {BROADCAST_MAX_EDGES} edges; "
-                "use geom_strategy='join'"
-            )
-        geom_map = {r["edge_id"]: bytes(r["geom"]) for r in geom_rows}
-        bc_geoms = pages_geo.sparkSession.sparkContext.broadcast(geom_map)
-
-        @F.pandas_udf(T.DoubleType())
-        def dist_bc(x: pd.Series, y: pd.Series, edge_id: pd.Series) -> pd.Series:
-            # group the Arrow batch by edge and compute all its page distances
-            # in one vectorized pass (numpy N x segments broadcast)
-            geoms = bc_geoms.value
-            xs, ys = x.to_numpy(), y.to_numpy()
-            out = np.empty(len(x))
-            order: dict[int, list[int]] = {}
-            for i, e in enumerate(edge_id):
-                order.setdefault(int(e), []).append(i)
-            for eid, idx in order.items():
-                coords = wkb.decode(geoms[eid])[1]
-                pts = np.stack([xs[idx], ys[idx]], axis=1)
-                out[idx] = ops.points_line_dist(pts, coords)
-            return pd.Series(out)
-
-        scored = cand.withColumn(
-            "dist", dist_bc(F.col("x"), F.col("y"), F.col("edge_id"))
-        )
-    elif geom_strategy == "join":
-        # distributed path: shuffle ONLY the candidate rows on edge_id and
-        # attach geometry from the edge table — the driver never sees a
-        # geometry, and no executor holds more than its join partitions.
-        cand = cand.join(edges.select("edge_id", "geom"), "edge_id")
-
-        @F.pandas_udf(T.DoubleType())
-        def dist_join(x: pd.Series, y: pd.Series, geom: pd.Series) -> pd.Series:
-            # candidates arrive clustered by edge_id (post-join) — group the
-            # Arrow batch by WKB bytes, decode each edge once, vectorize
-            xs, ys = x.to_numpy(), y.to_numpy()
-            out = np.empty(len(x))
-            order: dict[bytes, list[int]] = {}
-            for i, g in enumerate(geom):
-                order.setdefault(bytes(g), []).append(i)
-            for gb, idx in order.items():
-                coords = wkb.decode(gb)[1]
-                pts = np.stack([xs[idx], ys[idx]], axis=1)
-                out[idx] = ops.points_line_dist(pts, coords)
-            return pd.Series(out)
-
-        scored = cand.withColumn(
-            "dist", dist_join(F.col("x"), F.col("y"), F.col("geom"))
-        ).drop("geom")
-    else:
+        # small-edge fast path: ship the exploded seg-cover (7 numeric cols)
+        # to every executor — the page side never shuffles at all
+        segs = F.broadcast(segs)
+    elif geom_strategy != "join":
         raise ValueError(f"unknown geom_strategy {geom_strategy!r}")
 
-    scored = scored.filter(F.col("dist") <= radius)
+    # each page carries exactly ONE cell and each segment covers a cell at
+    # most once, so a (url, segment) pair meets exactly once — no pair-dedup
+    # shuffle; multiple segments of one edge fold into the min aggregation
+    cand = pg.join(segs, join_key)
+    scored = cand.withColumn("dist", spatial.point_segment_dist_expr()).filter(
+        F.col("dist") <= radius
+    )
     if k == 1:
         # nearest-only: min(struct(dist, edge_id)) aggregates map-side
         # (partial combine) — no full window shuffle+sort.  struct ordering
@@ -316,9 +286,11 @@ def nearest_edges(
             F.round(F.col("m.dist"), 6).alias("dist"),
             F.lit(1).alias("rank"),
         )
+    # k>1: collapse segments to per-(url, edge) line distance, then rank
+    per_edge = scored.groupBy("url", "edge_id").agg(F.min("dist").alias("dist"))
     w = Window.partitionBy("url").orderBy(F.col("dist").asc(), F.col("edge_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        per_edge.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("url", "edge_id", F.round(F.col("dist"), 6).alias("dist"), "rank")
     )

@@ -68,12 +68,25 @@ def _gp_blob(wkb_bytes: bytes, srid: int) -> bytes:
 
 
 def _parse_gp_blob(blob: bytes) -> bytes:
+    """GeoPackageBinaryHeader -> inner WKB (spec §2.1.3).
+
+    Handles both header byte orders (flag bit 0), skips the 4-byte extension
+    code of ExtendedGeoPackageBinary blobs (flag bit 5), and rejects the
+    invalid envelope indicators 5-7 with a clear error instead of a
+    KeyError mis-slice."""
     if blob[:2] != b"GP":
         raise ValueError("not a GeoPackage geometry blob")
     flags = blob[3]
     env_ind = (flags >> 1) & 0x07
+    if env_ind > 4:
+        raise ValueError(
+            f"invalid GeoPackage envelope contents indicator {env_ind} (spec allows 0-4)"
+        )
     env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env_ind]
-    return blob[8 + env_len:]
+    off = 8 + env_len
+    if flags & 0x20:  # ExtendedGeoPackageBinary: 4-byte extension_code
+        off += 4
+    return blob[off:]
 
 
 def _ensure_gpkg(con: sqlite3.Connection, srid: int) -> None:
@@ -123,6 +136,7 @@ def write_geopackage(
     geometry_type: str = "GEOMETRY",
     srid: int = 32633,
     batch_size: int = 10_000,
+    fid_col: str | None = None,
 ) -> int:
     """Stream ``df`` into ``path`` as GPKG layer ``layer``; returns row count.
 
@@ -130,8 +144,15 @@ def write_geopackage(
     format, mirroring ``ogr2ogr`` in core/export_step.py:29-41).  Scale
     exports use the parquet sink; this is for handing results to QGIS and
     for byte-level parity checks against the reference's .gpkg output.
+
+    ``fid_col``: name of an integer column to use as the feature id —
+    ``ogr2ogr -lco FID=edge_id`` parity (export_step.py:33): the column
+    becomes the ``INTEGER PRIMARY KEY`` itself instead of an autoincrement
+    ``fid`` alongside it.
     """
-    attr_cols = [f for f in df.schema.fields if f.name != geom_col]
+    attr_cols = [
+        f for f in df.schema.fields if f.name not in (geom_col, fid_col)
+    ]
     con = sqlite3.connect(path)
     try:
         _ensure_gpkg(con, srid)
@@ -139,13 +160,21 @@ def write_geopackage(
             f'"{f.name}" {_SQLITE_TYPES.get(f.dataType.simpleString(), "TEXT")}'
             for f in attr_cols
         )
+        pk = (
+            f'"{fid_col}" INTEGER PRIMARY KEY'
+            if fid_col
+            else "fid INTEGER PRIMARY KEY AUTOINCREMENT"
+        )
         con.execute(f'DROP TABLE IF EXISTS "{layer}"')
         con.execute(
-            f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, '
+            f'CREATE TABLE "{layer}" ({pk}, '
             f'"{geom_col}" BLOB{", " + col_defs if col_defs else ""})'
         )
-        placeholders = ", ".join(["?"] * (1 + len(attr_cols)))
-        names = ", ".join([f'"{geom_col}"'] + [f'"{f.name}"' for f in attr_cols])
+        id_names = [f'"{fid_col}"'] if fid_col else []
+        placeholders = ", ".join(["?"] * (len(id_names) + 1 + len(attr_cols)))
+        names = ", ".join(
+            id_names + [f'"{geom_col}"'] + [f'"{f.name}"' for f in attr_cols]
+        )
         n = 0
         bounds = [None, None, None, None]
         batch = []
@@ -168,7 +197,9 @@ def write_geopackage(
                     return int(v)
                 return str(v)  # timestamps etc. -> ISO text
 
-            vals = [blob] + [_adapt(row[f.name]) for f in attr_cols]
+            vals = ([row[fid_col]] if fid_col else []) + [blob] + [
+                _adapt(row[f.name]) for f in attr_cols
+            ]
             batch.append(vals)
             n += 1
             if len(batch) >= batch_size:

@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 
 from netascore_spark.functions import projection
 from netascore_spark.geometry import wkb
+from netascore_spark.pipeline import cache
 from netascore_spark.sources.fixtures import OSM_LINE_COLUMNS, _OSM_PT_POLY_COLS
 
 # default.style keys flagged `polygon` (closed ways with any of these become
@@ -259,7 +260,7 @@ def read_osm_xml(
     rows (outer ring + holes), keyed -rel_id like osm2pgsql.
     """
     nodes, ways, rels = parse_osm_xml(spark, path, projection_spec)
-    nodes = nodes.persist()
+    nodes = cache.track(nodes.persist())
 
     # ---- osm_point: nodes with >=1 surviving tag -------------------------
     pt = nodes.filter(F.size("tags") > 0)

@@ -36,11 +36,10 @@ def test_run_pipeline_with_checkpoints(spark, tmp_path):
     assert sum(meta["partition_rows"]) == meta["rows"]
     assert meta["upstream"] == ["osm_line"]
 
-    # resume: second run must reuse snapshots (write time unchanged)
-    t0 = os.path.getmtime(os.path.join(ckdir, "network_edge", "_SUCCESS"))
+    # resume: second run must reuse snapshots (no new version committed)
+    assert [s["version"] for s in ck.snapshots("network_edge")] == [1]
     out2 = run_pipeline(spark, osm, layers, profiles, checkpoint_dir=ckdir)
-    t1 = os.path.getmtime(os.path.join(ckdir, "network_edge", "_SUCCESS"))
-    assert t0 == t1  # skipped, not recomputed
+    assert [s["version"] for s in ck.snapshots("network_edge")] == [1]
     assert out2["export_edge"].count() == n_edges
 
 
@@ -50,6 +49,27 @@ def test_checkpoint_abort_mode(spark, tmp_path):
     ck.materialize(df, "t")
     with pytest.raises(RuntimeError, match="abort"):
         ck.materialize(df, "t")
+
+
+def test_checkpoint_time_travel(spark, tmp_path):
+    """on_existing=delete commits NEW versions; old snapshots stay readable
+    by version and by as_of epoch; expire_snapshots prunes them."""
+    ck = Checkpointer(spark, str(tmp_path), on_existing="delete")
+    ck.materialize(spark.range(3), "t")
+    epoch_v1 = ck.snapshots("t")[-1]["committed_at_epoch"]
+    ck.materialize(spark.range(7), "t")
+
+    assert [s["version"] for s in ck.snapshots("t")] == [1, 2]
+    assert ck.read("t").count() == 7            # current
+    assert ck.read("t", version=1).count() == 3  # explicit version
+    assert ck.read("t", as_of=epoch_v1).count() == 3  # time travel
+    assert ck.lineage("t")["version"] == 2
+
+    dropped = ck.expire_snapshots("t", keep_last=1)
+    assert dropped == [1]
+    assert ck.read("t").count() == 7
+    with pytest.raises(RuntimeError, match="does not exist"):
+        ck.read("t", version=1)
 
 
 def test_null_column_audit(spark):

@@ -27,8 +27,10 @@ def run_bench(cpus: int, sf_dir: str, master: str | None = None) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         # larger pages input for the scaling measurement: amortizes constant
-        # stage-scheduling overhead so the ratio reflects the engine
-        SPARK_GRAFT_PAGES=os.environ.get("SPARK_GRAFT_PAGES", "600000"),
+        # stage-scheduling overhead so the ratio reflects the engine (2.4M
+        # keeps work-per-core at round-2 levels now that the native kNN/PIP
+        # paths are ~4x faster per page)
+        SPARK_GRAFT_PAGES=os.environ.get("SPARK_GRAFT_PAGES", "2400000"),
     )
     if master:
         env["SPARK_GRAFT_MASTER"] = master
