@@ -1159,6 +1159,48 @@ def _sphere_oracle():
     )
 
 
+def q_sphere_rollup(spark, sf_dir):
+    """Multi-resolution hierarchy rollup: level-14 spherical cells ->
+    level-10 PARENTS via pure bit arithmetic (grid_sphere.parent_col, the
+    h3 cell_to_parent analog) — the quadtree ancestor property
+    (parent(cell(L)) == cell(L-d)) hash-checked against DuckDB."""
+    from netascore_spark import grid_sphere as GS
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", "value",
+        ((F.col("event_id") * 7919 % 17000) / 100.0 - 85.0 + 0.0037).alias("lat"),
+        ((F.col("event_id") * 104729 % 35000) / 100.0 - 175.0 + 0.0037).alias("lng"),
+    )
+    fine = pts.withColumn("cell14", GS.cell_col("lat", "lng", level=14))
+    return (
+        fine.withColumn("cell10", GS.parent_col("cell14", steps=4))
+        .groupBy("cell10")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("cell14").alias("n_children"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _sphere_rollup_oracle():
+    from netascore_spark import grid_sphere as GS
+
+    cell14 = GS.cell_sql(
+        "((event_id * 7919 % 17000) / 100.0 - 85.0 + 0.0037)",
+        "((event_id * 104729 % 35000) / 100.0 - 175.0 + 0.0037)",
+        level=14,
+    )
+    parent10 = GS.parent_sql("cell14", steps=4)
+    return (
+        f"WITH fine AS (SELECT {cell14} AS cell14, value FROM events) "
+        f"SELECT {parent10} AS cell10, count(*) AS n_events, "
+        "count(DISTINCT cell14) AS n_children, "
+        "round(sum(value), 4) AS sum_value FROM fine GROUP BY 1"
+    )
+
+
 def q_image_decode(spark, sf_dir):
     """REAL PNG pixel decode (pure-python zlib codec) + resize over
     mapInPandas — netascore_spark/operators/multimodal.py:decode_image."""
@@ -1528,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dedup": q_ngram_dedup,
         "cosine_topk": q_cosine_topk,
         "sphere_tiling": q_sphere_tiling,
+        "sphere_rollup": q_sphere_rollup,
         "grid_tiling": q_grid_tiling,
         "dwithin_join": q_dwithin_join,
         "knn_join": q_knn_join,
@@ -1579,6 +1622,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_dedup": _NGRAM_ORACLE,
         "cosine_topk": _COSINE_ORACLE,
         "sphere_tiling": _sphere_oracle(),
+        "sphere_rollup": _sphere_rollup_oracle(),
         "grid_tiling": _GRID_ORACLE,
         "dwithin_join": _DWITHIN_ORACLE,
         "knn_join": _KNN_ORACLE,

@@ -250,3 +250,68 @@ def cell_sql(lat_expr: str, lng_expr: str, level: int = DEFAULT_LEVEL) -> str:
         f"(CAST({face} AS BIGINT) * {1 << 58} + {level} * {1 << 52}"
         f" + {idx(u)} * {1 << 26} + {idx(v)})"
     )
+
+
+# ---------------------------------------------------------------------------
+# hierarchy: parent / children rollup across levels (H3/S2 cell hierarchy)
+# ---------------------------------------------------------------------------
+#
+# The quadtree packing makes the hierarchy pure bit arithmetic: the level-
+# (L-d) ancestor of (face, L, i, j) is (face, L-d, i >> d, j >> d); the
+# children of a cell are the four (2i+di, 2j+dj).  Same tri-implementation
+# contract as cell(): numpy, Column, SQL — all byte-identical.
+
+def parent(cell_id, steps: int = 1):
+    """Ancestor ``steps`` levels up (h3.cell_to_parent analog). Vectorized."""
+    face, level, i, j = unpack(cell_id)
+    new_level = level - np.int64(steps)
+    if np.any(new_level < 0):
+        raise ValueError("parent: steps exceeds cell level")
+    return _pack(face, 0, i >> np.int64(steps), j >> np.int64(steps)) | (
+        new_level << 52
+    )
+
+
+def children(cell_id):
+    """The four direct children (h3.cell_to_children analog); one level
+    finer.  Scalar cell_id -> ndarray(4,)."""
+    face, level, i, j = unpack(cell_id)
+    level = int(level)
+    if level >= _MAX_LEVEL:
+        raise ValueError("children: already at max level")
+    di, dj = np.meshgrid([0, 1], [0, 1])
+    return _pack(
+        int(face), level + 1, (int(i) << 1) + di.ravel(), (int(j) << 1) + dj.ravel()
+    )
+
+
+def parent_col(cell, steps: int = 1):
+    """:func:`parent` as a pyspark Column (whole-stage codegen, no python):
+    multi-resolution rollups are a groupBy on this expression."""
+    from pyspark.sql import functions as F
+
+    c = F.col(cell) if isinstance(cell, str) else cell
+    mask26 = (1 << 26) - 1
+    face = F.shiftright(c, 58)
+    level = F.shiftright(c, 52).bitwiseAND(F.lit(0x3F))
+    i = F.shiftright(c, 26).bitwiseAND(F.lit(mask26))
+    j = c.bitwiseAND(F.lit(mask26))
+    return (
+        F.shiftleft(face, 58)
+        .bitwiseOR(F.shiftleft(level - F.lit(steps), 52))
+        .bitwiseOR(F.shiftleft(F.shiftright(i, steps), 26))
+        .bitwiseOR(F.shiftright(j, steps))
+    )
+
+
+def parent_sql(cell_expr: str, steps: int = 1) -> str:
+    """:func:`parent` as ANSI SQL (DuckDB oracle twin of parent_col)."""
+    mask26 = (1 << 26) - 1
+    face = f"(({cell_expr}) // {1 << 58})"
+    level = f"((({cell_expr}) // {1 << 52}) % 64)"
+    i = f"((({cell_expr}) // {1 << 26}) % {mask26 + 1})"
+    j = f"(({cell_expr}) % {mask26 + 1})"
+    return (
+        f"({face} * {1 << 58} + ({level} - {steps}) * {1 << 52}"
+        f" + ({i} // {1 << steps}) * {1 << 26} + ({j} // {1 << steps}))"
+    )

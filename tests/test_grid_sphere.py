@@ -88,3 +88,53 @@ def test_cover_cap_complete_across_faces(base):
         d = _haversine(blat[i], blng[i], blat, blng)
         for w in np.where(d <= r)[0]:
             assert int(cells[w]) in cov
+
+
+def test_hierarchy_parent_equals_coarse_cell():
+    # quadtree ancestor property: parent(cell(L), d) == cell(L-d), everywhere
+    rng = np.random.RandomState(7)
+    lat = rng.uniform(-89.9, 89.9, 5000)
+    lng = rng.uniform(-180.0, 180.0, 5000)
+    for steps, fine, coarse in [(1, 16, 15), (4, 16, 12), (6, 14, 8)]:
+        assert np.array_equal(
+            GS.parent(GS.cell(lat, lng, fine), steps), GS.cell(lat, lng, coarse)
+        )
+
+
+def test_hierarchy_children_inverse():
+    c = GS.cell(47.07, 15.43, 12)
+    ch = GS.children(c)
+    assert len(ch) == 4 and len(set(ch.tolist())) == 4
+    assert np.array_equal(GS.parent(ch, 1), np.full(4, int(c)))
+    # children live exactly one level down, same face
+    f0, l0, *_ = GS.unpack(c)
+    for cc in ch:
+        f, l, *_ = GS.unpack(cc)
+        assert int(l) == int(l0) + 1 and int(f) == int(f0)
+
+
+def test_hierarchy_column_and_sql_match_numpy(spark):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({
+        "lat": rng.uniform(-89.9, 89.9, 2000),
+        "lng": rng.uniform(-180.0, 180.0, 2000),
+    })
+    pdf["cell"] = GS.cell(pdf["lat"].to_numpy(), pdf["lng"].to_numpy(), 16)
+    expected = GS.parent(pdf["cell"].to_numpy(), 3)
+    got_col = (
+        spark.createDataFrame(pdf)
+        .select(GS.parent_col("cell", steps=3).alias("p"))
+        .toPandas()["p"]
+        .to_numpy()
+    )
+    assert np.array_equal(got_col, expected)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_sql = con.execute(
+        f"SELECT {GS.parent_sql('cell', steps=3)} FROM t"
+    ).df().iloc[:, 0].to_numpy()
+    assert np.array_equal(got_sql, expected)
