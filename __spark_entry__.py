@@ -1201,6 +1201,42 @@ def _sphere_rollup_oracle():
     )
 
 
+def q_utm_project(spark, sf_dir):
+    """WGS84 -> UTM zone 33 projection (the .osm importer's ST_Transform
+    equivalent, functions/projection.py Krueger series) over event-derived
+    lon/lat — hash-checked against the SAME series rendered as DuckDB SQL
+    (hyperbolics emulated via exp/ln); both sides agree to < 3e-9 m, rounded
+    to 0.1 mm for the hash."""
+    from netascore_spark.functions import projection as P
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 6151 % 60000) / 10000.0 + 12.0).alias("lon"),
+        ((F.col("event_id") * 7919 % 160000) / 1000.0 - 80.0).alias("lat"),
+    )
+    utm = pts.withColumn("__u", P.utm_udf(33)(F.col("lon"), F.col("lat")))
+    return utm.select(
+        "event_id",
+        F.round(F.col("__u.easting"), 4).alias("easting"),
+        F.round(F.col("__u.northing"), 4).alias("northing"),
+    )
+
+
+def _utm_oracle():
+    from netascore_spark.functions import projection as P
+
+    es, ns = P.utm_sql(
+        "((event_id * 6151 % 60000) / 10000.0 + 12.0)",
+        "((event_id * 7919 % 160000) / 1000.0 - 80.0)",
+        33,
+    )
+    return (
+        f"SELECT event_id, round({es}, 4) AS easting, "
+        f"round({ns}, 4) AS northing FROM events"
+    )
+
+
 def q_image_decode(spark, sf_dir):
     """REAL PNG pixel decode (pure-python zlib codec) + resize over
     mapInPandas — netascore_spark/operators/multimodal.py:decode_image."""
@@ -1571,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "sphere_tiling": q_sphere_tiling,
         "sphere_rollup": q_sphere_rollup,
+        "utm_project": q_utm_project,
         "grid_tiling": q_grid_tiling,
         "dwithin_join": q_dwithin_join,
         "knn_join": q_knn_join,
@@ -1623,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_ORACLE,
         "sphere_tiling": _sphere_oracle(),
         "sphere_rollup": _sphere_rollup_oracle(),
+        "utm_project": _utm_oracle(),
         "grid_tiling": _GRID_ORACLE,
         "dwithin_join": _DWITHIN_ORACLE,
         "knn_join": _KNN_ORACLE,

@@ -16,6 +16,7 @@ Everything accepts scalars or numpy arrays (degrees in, meters out).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 # WGS84 ellipsoid
 _A = 6378137.0
@@ -135,3 +136,74 @@ def utm_to_wgs84(easting, northing, zone: int, north: bool = True):
     lat = np.degrees(np.arctan(t))
     lon = np.degrees(lam) + zone_central_meridian(zone)
     return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# DataFrame / SQL surfaces
+# ---------------------------------------------------------------------------
+
+def utm_udf(zone: int, north: bool = True):
+    """(lon, lat) double columns -> struct(easting, northing) — one Arrow
+    pass per batch (the projection itself is vectorized numpy)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("easting", T.DoubleType()),
+                T.StructField("northing", T.DoubleType()),
+            ]
+        )
+    )
+    def _utm(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        e, n = wgs84_to_utm(lon.to_numpy(), lat.to_numpy(), zone, north)
+        return pd.DataFrame({"easting": e, "northing": n})
+
+    return _utm
+
+
+def utm_sql(lon_expr: str, lat_expr: str, zone: int, north: bool = True):
+    """The SAME Krueger forward series as ANSI SQL (DuckDB oracle twin of
+    :func:`wgs84_to_utm`); hyperbolics emulated via exp/ln.  All numeric
+    literals are cast to DOUBLE (DuckDB would otherwise parse them as
+    DECIMAL and overflow the coefficient products).  Returns
+    (easting_sql, northing_sql) strings."""
+
+    def lit(x) -> str:
+        return f"CAST({float(x)!r} AS DOUBLE)"
+
+    lam = f"(radians(({lon_expr}) - {lit(zone_central_meridian(zone))}))"
+    phi = f"(radians({lat_expr}))"
+    t = f"(tan({phi}))"
+    hyp_t = f"(sqrt({lit(1.0)} + {t}*{t}))"
+    # atanh(x) = 0.5 ln((1+x)/(1-x)); sinh(x) = (exp(x)-exp(-x))/2
+    ax = f"({lit(_E)} * {t} / {hyp_t})"
+    at = f"({lit(0.5)} * ln(({lit(1.0)} + {ax}) / ({lit(1.0)} - {ax})))"
+    ex = f"({lit(_E)} * {at})"
+    sigma = f"((exp({ex}) - exp(-{ex})) / {lit(2.0)})"
+    tp = f"({t} * sqrt({lit(1.0)} + {sigma}*{sigma}) - {sigma} * {hyp_t})"
+    xi_p = f"(atan2({tp}, cos({lam})))"
+    asx = f"(sin({lam}) / sqrt({tp}*{tp} + cos({lam})*cos({lam})))"
+    eta_p = f"(ln({asx} + sqrt({asx}*{asx} + {lit(1.0)})))"  # asinh
+
+    def cosh(x):
+        return f"((exp({x}) + exp(-{x})) / {lit(2.0)})"
+
+    def sinh(x):
+        return f"((exp({x}) - exp(-{x})) / {lit(2.0)})"
+
+    xi_terms = [xi_p]
+    eta_terms = [eta_p]
+    for jj in range(6):
+        k = lit(2.0 * (jj + 1))
+        a = lit(_ALPHA[jj])
+        xi_terms.append(f"({a} * sin({k} * {xi_p}) * {cosh(f'({k} * {eta_p})')})")
+        eta_terms.append(f"({a} * cos({k} * {xi_p}) * {sinh(f'({k} * {eta_p})')})")
+    xi = "(" + " + ".join(xi_terms) + ")"
+    eta = "(" + " + ".join(eta_terms) + ")"
+    easting = f"({lit(FALSE_EASTING)} + {lit(_K0)} * {lit(_A1)} * {eta})"
+    northing = f"({lit(_K0)} * {lit(_A1)} * {xi})"
+    if not north:
+        northing = f"({northing} + {lit(FALSE_NORTHING_SOUTH)})"
+    return easting, northing
