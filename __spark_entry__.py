@@ -1035,6 +1035,61 @@ def q_pages_knn(spark, sf_dir):
     return nearest_edges(pg, edges, k=1, radius=500.0)
 
 
+def q_page_extract(spark, sf_dir):
+    """Independent oracle for the fused HTML extraction UDF
+    (pipeline/pages.extract_page_udf): html synthesized NATIVELY from
+    ``documents`` (so DuckDB sees byte-identical input), run through the
+    real Arrow extraction pass, output hash-compared against DuckDB
+    regexp_extract.  A mismatch in extracted_text vs the source text breaks
+    the hash — this doubles as the north-rule byte-identity gate."""
+    from netascore_spark.pipeline.pages import extract_pages
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5000)
+    lat = (F.col("doc_id") * 7919 % 170 - 85).cast("long")
+    lng = (F.col("doc_id") * 6151 % 350 - 175).cast("long")
+    geo = F.when(
+        F.col("doc_id") % 10 != 7,  # ~10% of pages carry no coordinates
+        F.concat(
+            F.lit('<meta name="geo.position" content="'),
+            lat.cast("string"), F.lit(";"), lng.cast("string"), F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        "lang",
+        "text",
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"), geo,
+                F.lit('</head><body><main id="content">'),
+                F.col("text"), F.lit("</main></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    out = extract_pages(pages)
+    return out.select("url", "extracted_text", "x", "y", "cell")
+
+
+def _page_extract_oracle():
+    return """
+    SELECT CAST(doc_id AS VARCHAR) AS url,
+           text AS extracted_text,
+           CASE WHEN doc_id % 10 != 7
+                THEN CAST(doc_id * 6151 % 350 - 175 AS DOUBLE) END AS x,
+           CASE WHEN doc_id % 10 != 7
+                THEN CAST(doc_id * 7919 % 170 - 85 AS DOUBLE) END AS y,
+           CASE WHEN doc_id % 10 != 7 THEN
+             ((CAST(floor(CAST(doc_id * 6151 % 350 - 175 AS DOUBLE) / 200.0) AS BIGINT)
+               + 1048576) * 2097152)
+             + (CAST(floor(CAST(doc_id * 7919 % 170 - 85 AS DOUBLE) / 200.0) AS BIGINT)
+               + 1048576)
+           END AS cell
+    FROM documents WHERE doc_id < 5000
+    """
+
+
 def q_minhash_dedup(spark, sf_dir):
     from netascore_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1608,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sphere_tiling": q_sphere_tiling,
         "sphere_rollup": q_sphere_rollup,
         "utm_project": q_utm_project,
+        "page_extract": q_page_extract,
         "grid_tiling": q_grid_tiling,
         "dwithin_join": q_dwithin_join,
         "knn_join": q_knn_join,
@@ -1661,6 +1717,7 @@ def oracle_sql() -> dict[str, str]:
         "sphere_tiling": _sphere_oracle(),
         "sphere_rollup": _sphere_rollup_oracle(),
         "utm_project": _utm_oracle(),
+        "page_extract": _page_extract_oracle(),
         "grid_tiling": _GRID_ORACLE,
         "dwithin_join": _DWITHIN_ORACLE,
         "knn_join": _KNN_ORACLE,
