@@ -256,3 +256,20 @@ def test_roundtrip_network_goldens(spark, roundtrip):
     g2 = {(r["edge_id"], bytes(r["geom"])) for r in e2.collect()}
     assert g1 == g2
     assert n1.count() == n2.count()
+
+
+def test_utm_auto_zone(spark, tmp_path):
+    """projection_spec="utm" (no zone): the first chunk's mean lon fixes
+    the zone — Vienna-ish lon ~16.4 must land in zone 33."""
+    from netascore_spark.functions import projection as P
+
+    p = str(tmp_path / "auto.osm")
+    _write_osm(
+        p,
+        [(1, 16.37, 48.20, {}), (2, 16.38, 48.20, {})],
+        [(401, [1, 2], {"highway": "residential"})],
+    )
+    tabs = read_osm_xml(spark, p, projection_spec="utm")
+    _, coords = wkb.decode(bytes(tabs["osm_line"].collect()[0]["way"]))
+    e1, n1 = P.wgs84_to_utm(16.37, 48.20, 33)
+    assert np.allclose(coords[0], [e1, n1])
