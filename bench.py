@@ -110,6 +110,14 @@ def main() -> None:
         n_edges / (timings["network_build"] + timings["attributes_score"]), 2
     )
 
+    # release the builders' internal caches (cell covers, split edges, water
+    # buffers): the network/attribute results are localCheckpoint'ed above,
+    # so the caches are dead weight that would otherwise squeeze executor
+    # storage (and GC) through the pages stage — worst at low core counts
+    from netascore_spark.pipeline import cache as CACHE
+
+    CACHE.release_all()
+
     # --- pages: extract + tile + PIP + kNN (pages/sec) ---------------------
     pages_pdf = fixtures.pages_pandas(n_pages)
     pg_raw = spark.createDataFrame(pages_pdf, fixtures._PAGES_SCHEMA).persist()

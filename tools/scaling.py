@@ -26,11 +26,14 @@ def run_bench(cpus: int, sf_dir: str, master: str | None = None) -> dict:
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
-        # larger pages input for the scaling measurement: amortizes constant
-        # stage-scheduling overhead so the ratio reflects the engine (2.4M
-        # keeps work-per-core at round-2 levels now that the native kNN/PIP
-        # paths are ~4x faster per page)
+        # larger inputs for the scaling measurement: amortize constant
+        # stage-scheduling overhead so the ratio reflects the engine (the
+        # native kNN/PIP/DWithin paths are ~4x faster per row than round 2,
+        # so round-2 input sizes leave mostly fixed cost at 8 cores).
+        # 2.4M pages and a 400k-edge network keep work-per-core at round-2
+        # levels; the N->4N ratio then measures compute, not stage latency.
         SPARK_GRAFT_PAGES=os.environ.get("SPARK_GRAFT_PAGES", "2400000"),
+        SPARK_GRAFT_OSM_SCALE=os.environ.get("SPARK_GRAFT_OSM_SCALE", "56"),
     )
     if master:
         env["SPARK_GRAFT_MASTER"] = master
