@@ -273,3 +273,32 @@ def test_utm_auto_zone(spark, tmp_path):
     _, coords = wkb.decode(bytes(tabs["osm_line"].collect()[0]["way"]))
     e1, n1 = P.wgs84_to_utm(16.37, 48.20, 33)
     assert np.allclose(coords[0], [e1, n1])
+
+
+def test_cli_osm_example_end_to_end(spark, tmp_path):
+    """examples/settings_osm.yml: real .osm -> UTM -> network -> score ->
+    gpkg, through the CLI (the 'a user could switch' path)."""
+    import sqlite3
+
+    import yaml
+
+    from netascore_spark.cli import run_settings
+
+    with open("examples/settings_osm.yml") as fh:
+        settings = yaml.safe_load(fh)
+    settings["import"]["filename"] = os.path.join(os.getcwd(), "examples/sample.osm")
+    for p in settings["profiles"]:
+        p["filename"] = os.path.join(os.getcwd(), "profiles", os.path.basename(p["filename"]))
+    settings["export"]["filename"] = str(tmp_path / "netascore_<case_id>_<srid>.gpkg")
+    out = run_settings(settings, base_path=str(tmp_path), spark=spark)
+    gpkg = tmp_path / "netascore_osm_sample_32633.gpkg"
+    assert gpkg.exists()  # <case_id> and <srid> both substituted
+    con = sqlite3.connect(str(gpkg))
+    n_edges = con.execute('SELECT count(*) FROM "edge"').fetchone()[0]
+    assert n_edges > 0
+    # -lco FID=edge_id parity: edge_id IS the primary key column
+    cols = [r[1] for r in con.execute('PRAGMA table_info("edge")')]
+    assert cols[0] == "edge_id"
+    # UTM easting range sanity for the Vienna sample (zone 33)
+    idx_cols = [c for c in out["network_edge_index"].columns]
+    assert "index_bike_ft" in idx_cols
