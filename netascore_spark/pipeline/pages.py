@@ -265,7 +265,14 @@ def nearest_edges(
         # small-edge fast path: ship the exploded seg-cover (7 numeric cols)
         # to every executor — the page side never shuffles at all
         segs = F.broadcast(segs)
-    elif geom_strategy != "join":
+    elif geom_strategy == "join":
+        # force the shuffle join: Catalyst's size estimate does not survive
+        # the sequence/explode cover (it sized a ~16M-row cover under the
+        # 64 MB broadcast threshold at 400k edges and OOM'd the driver
+        # building the broadcast).  The segs side is only provably small in
+        # the explicit "broadcast" strategy.
+        segs = segs.hint("shuffle_hash")
+    else:
         raise ValueError(f"unknown geom_strategy {geom_strategy!r}")
 
     # each page carries exactly ONE cell and each segment covers a cell at
