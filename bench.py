@@ -50,7 +50,7 @@ def main() -> None:
     spark = build_session(
         app_name="netascore-bench", master=master,
         shuffle_partitions=64,
-        extra_conf={"spark.executor.memory": "3g"} if "local-cluster" in master else None,
+        extra_conf={"spark.executor.memory": "10g"} if "local-cluster" in master else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -34,6 +34,11 @@ def run_bench(cpus: int, sf_dir: str, master: str | None = None) -> dict:
         # levels; the N->4N ratio then measures compute, not stage latency.
         SPARK_GRAFT_PAGES=os.environ.get("SPARK_GRAFT_PAGES", "2400000"),
         SPARK_GRAFT_OSM_SCALE=os.environ.get("SPARK_GRAFT_OSM_SCALE", "56"),
+        # ~6 GB of page caches (html + extracted) thrash an 8g heap into
+        # GC at every core count; the box has 128 GB, so give the bench
+        # JVM room (a real cluster sizes executor memory to the cached
+        # working set the same way)
+        SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     )
     if master:
         env["SPARK_GRAFT_MASTER"] = master
@@ -63,8 +68,8 @@ def main():
     # executor is its OWN JVM with its own heap and python worker pool — the
     # closest sandbox analog of adding executors to a cluster (the single-JVM
     # local[n] pairs share one heap and one memory-bandwidth budget).
-    leg("lc8", 8, "local-cluster[2,4,3072]")
-    leg("lc32", 32, "local-cluster[8,4,3072]")
+    leg("lc8", 8, "local-cluster[2,4,10240]")
+    leg("lc32", 32, "local-cluster[8,4,10240]")
 
     def pair_rows(n, n4):
         a, b = results[n], results[n4]
