@@ -311,23 +311,33 @@ def split_line(coords: np.ndarray, points: list[np.ndarray], eps: float = 1e-7):
             dedup.append((s, p))
     cuts = dedup
 
+    # Vertex/cut dedup is by ARC PARAMETER, not XY proximity: a switchback
+    # apex sits within eps (XY) of a cut on the other leg yet is real
+    # geometry — dropping it shrinks total length (Hypothesis counterexample
+    # pts=[(0,0),(0,1),(0,1.192e-07)]).  Params for a cut exactly at a vertex
+    # come out bit-identical (locate_point accumulates the same seg_len
+    # floats), so strict > comparisons need no slack.
     pieces = []
     current = [coords[0]]
+    last_s = 0.0  # arc param of current[-1]
     acc = 0.0
     pi = 0
     for i in range(len(coords) - 1):
         a, b = coords[i], coords[i + 1]
         seg_len = float(np.hypot(*(b - a)))
-        while pi < len(cuts) and acc + seg_len >= cuts[pi][0] - eps:
-            cut = cuts[pi][1]
-            if np.hypot(*(cut - current[-1])) > eps:
+        b_s = acc + seg_len
+        while pi < len(cuts) and b_s >= cuts[pi][0]:
+            s_cut, cut = cuts[pi]
+            if s_cut > last_s:
                 current.append(cut)
             pieces.append(np.array(current))
             current = [cut]
+            last_s = s_cut
             pi += 1
-        if np.hypot(*(b - current[-1])) > eps:
+        if b_s > last_s:
             current.append(b)
-        acc += seg_len
+            last_s = b_s
+        acc = b_s
     if len(current) >= 2:
         pieces.append(np.array(current))
     return pieces

@@ -67,7 +67,7 @@ def decode_png(data: bytes) -> np.ndarray:
             pass
         elif ftype == 1:  # Sub
             for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
+                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
         elif ftype == 2:  # Up
             line = (line.astype(np.uint16) + prev).astype(np.uint8)
         elif ftype == 3:  # Average

@@ -4,7 +4,7 @@ over the Spark compiler."""
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from netascore_spark.geometry import ops, wkb
 
@@ -16,6 +16,9 @@ coord = st.floats(min_value=-1e4, max_value=1e4, allow_nan=False)
 
 @given(st.lists(st.tuples(coord, coord), min_size=2, max_size=6))
 @settings(max_examples=100, deadline=None)
+# switchback apex within split-eps of a cut: the apex vertex is real
+# geometry and must survive the cut-point dedup (arc-param, not XY)
+@example(pts=[(0.0, 0.0), (0.0, 1.0), (0.0, 1.192092896e-07)])
 def test_split_length_invariant(pts):
     line = np.array(pts, dtype=float)
     total = ops.length(line)
