@@ -153,6 +153,20 @@ def coords(geom: tuple) -> np.ndarray:
     return np.vstack([coords(sub) for sub in body]) if body else np.empty((0, 2))
 
 
+def polygons(geom: tuple) -> list:
+    """Ring-lists of every Polygon part: Polygon -> [rings],
+    MultiPolygon/GeometryCollection -> one ring-list per part, else []."""
+    kind, body = geom
+    if kind == "Polygon":
+        return [body]
+    if kind in ("MultiPolygon", "GeometryCollection"):
+        out = []
+        for sub in body:
+            out.extend(polygons(sub))
+        return out
+    return []
+
+
 def bbox(geom: tuple) -> tuple[float, float, float, float]:
     c = coords(geom)
     return float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max())

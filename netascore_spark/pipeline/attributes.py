@@ -212,6 +212,8 @@ def buffer_overlay_ratio(
         the same building appears in many neighbouring edge buffers."""
         poly_cache: dict[bytes, list] = {}
 
+        skipped = [0]
+
         def emit(pdf: pd.DataFrame) -> pd.DataFrame:
             ids, ratios = [], []
             for eid, grp in pdf.groupby("edge_id", sort=False):
@@ -220,14 +222,23 @@ def buffer_overlay_ratio(
                 pieces = []
                 for g in grp["r_geom"]:
                     gb = bytes(g)
-                    rings = poly_cache.get(gb)
-                    if rings is None:
-                        rings = wkb.decode(gb)[1]
+                    rings_list = poly_cache.get(gb)
+                    if rings_list is None:
+                        # flatten MultiPolygon parts — real OSM multi-outer
+                        # relations reach here as one Polygon per part or as
+                        # a MultiPolygon from other sources
+                        rings_list = wkb.polygons(wkb.decode(gb))
                         if len(poly_cache) > 4096:
                             poly_cache.clear()
-                        poly_cache[gb] = rings
-                    pieces.append(rings)
-                ua = ops.union_area_in_region(pieces, buf)
+                        poly_cache[gb] = rings_list
+                    pieces.extend(rings_list)
+                try:
+                    ua = ops.union_area_in_region(pieces, buf)
+                except ValueError:
+                    # one invalid (self-intersecting/degenerate) real-world
+                    # polygon must not abort a 100TB run: skip the feature
+                    skipped[0] += 1
+                    continue
                 if ua > 0:
                     ids.append(int(eid))
                     ratios.append(min(ua / buffer_area * 100.0, 100.0))
@@ -248,6 +259,13 @@ def buffer_overlay_ratio(
                 yield emit(body)
         if carry is not None and len(carry):
             yield emit(carry)
+        if skipped[0]:
+            import warnings
+
+            warnings.warn(
+                f"buffer overlay: skipped {skipped[0]} edge group(s) with "
+                "untriangulatable (invalid) polygon geometry"
+            )
 
     # repartition BY KEY + sort: contiguous complete groups per partition,
     # full parallelism for the per-edge union python work

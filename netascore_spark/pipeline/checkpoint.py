@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 
@@ -144,7 +145,31 @@ class Checkpointer:
                 )
             # delete: fall through and commit the next version
 
-        m = self._manifest(name) or {"current": 0, "snapshots": []}
+        m = self._manifest(name)
+        if m is None:
+            m = {"current": 0, "snapshots": []}
+            legacy = self._table_dir(name)
+            if os.path.exists(os.path.join(legacy, "_SUCCESS")):
+                # first versioned commit over a pre-versioning layout: move
+                # the legacy part files into v000 so they never mix with new
+                # snapshots under the table dir (raw recursive reads of
+                # <base>/<name> would otherwise see old+new data)
+                v0 = self._version_dir(name, 0)
+                os.makedirs(v0, exist_ok=True)
+                for entry in os.listdir(legacy):
+                    if not re.fullmatch(r"v\d{3}", entry):
+                        shutil.move(
+                            os.path.join(legacy, entry), os.path.join(v0, entry)
+                        )
+                m["snapshots"].append(
+                    {
+                        "name": name,
+                        "version": 0,
+                        "migrated_legacy": True,
+                        "committed_at_epoch": time.time(),
+                    }
+                )
+                m["current"] = 0
         version = (
             max((s["version"] for s in m["snapshots"]), default=0) + 1
             if m["snapshots"]

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from netascore_spark.functions import projection
-from netascore_spark.geometry import wkb
+from netascore_spark.geometry import ops, wkb
 from netascore_spark.pipeline import cache
 from netascore_spark.sources.fixtures import OSM_LINE_COLUMNS, _OSM_PT_POLY_COLS
 
@@ -54,13 +54,21 @@ POLYGON_KEYS = {
     "aeroway", "amenity", "building", "harbour", "historic", "landuse",
     "leisure", "man_made", "military", "natural", "office", "place", "power",
     "public_transport", "shop", "sport", "tourism", "water", "waterway",
-    "wetland", "wood", "abandoned:aeroway", "abandoned:amenity",
+    "wetland", "abandoned:aeroway", "abandoned:amenity",
     "abandoned:building", "abandoned:landuse", "abandoned:power",
     "area:highway",
+}  # NB: `wood` is flagged linear (not polygon) in default.style:150
+# default.style `delete` rules (resources/default.style:172-233, complete)
+_DELETE_EXACT = {
+    "note", "source", "source_ref", "attribution", "comment", "fixme",
+    "created_by", "odbl", "odbl:note", "SK53_bulk:load", "accuracy:meters",
+    "sub_sea:type", "waterway:type", "3dshapes:ggmodelk", "AND_nosr_r",
+    "import",
 }
-# default.style `delete` rules
-_DELETE_EXACT = {"note", "source", "source_ref"}
-_DELETE_PREFIX = ("note:", "source:")
+_DELETE_PREFIX = (
+    "note:", "source:", "tiger:", "NHD:", "nhd:", "gnis:", "geobase:",
+    "KSJ2:", "yh:", "osak:", "kms:", "ngbe:", "naptan:", "CLC:", "it:fvg:",
+)
 
 _CHUNK = 200_000
 
@@ -289,7 +297,16 @@ def read_osm_xml(
     assembled = located.groupBy("way_id").agg(
         F.sort_array(F.collect_list(F.struct("seq", "x", "y"))).alias("pts")
     )
-    wdf = ways.join(assembled, "way_id").withColumn(
+    # osm2pgsql discards ways referencing nodes absent from the file (the
+    # normal case for bbox-clipped extracts): an incomplete way would encode
+    # a truncated line, or a "closed" ring missing its first/last vertex.
+    # The inner join above drops missing refs, so completeness is exactly
+    # size(pts) == size(refs).
+    wdf = ways.join(assembled, "way_id").filter(
+        F.size("pts") == F.size("refs")
+    )
+    assembled = wdf.select("way_id", "pts")  # complete ways only (rel members)
+    wdf = wdf.withColumn(
         "closed",
         (F.element_at("refs", 1) == F.element_at("refs", -1))
         & (F.size("refs") >= 4),
@@ -379,10 +396,27 @@ def read_osm_xml(
             tags = pdf["tags"].iloc[0]
             if len(outers) == 1:
                 geom = ("Polygon", [outers[0]] + inners)
-            else:
-                geom = ("MultiPolygon", [("Polygon", [o]) for o in outers])
+                return pd.DataFrame(
+                    [{"osm_id": -rel_id, "way": wkb.encode(geom), "tags": tags}]
+                )
+            # Multi-outer relation: one Polygon ROW per outer ring (downstream
+            # overlay consumers decode single-Polygon ring lists), each hole
+            # assigned to the outer that contains its first vertex by PIP.
+            holes_of = {i: [] for i in range(len(outers))}
+            for inner in inners:
+                for i, outer in enumerate(outers):
+                    if ops.point_in_ring(inner[0], outer):
+                        holes_of[i].append(inner)
+                        break
             return pd.DataFrame(
-                [{"osm_id": -rel_id, "way": wkb.encode(geom), "tags": tags}]
+                [
+                    {
+                        "osm_id": -rel_id,
+                        "way": wkb.encode(("Polygon", [o] + holes_of[i])),
+                        "tags": tags,
+                    }
+                    for i, o in enumerate(outers)
+                ]
             )
 
         rel_polys = member_pts.groupBy("rel_id").applyInPandas(stitch, out_schema)

@@ -164,6 +164,77 @@ def test_micro_multipolygon_stitching(micro_tables):
     assert inner[:, 0].min() == 405.0 and inner[:, 0].max() == 410.0
 
 
+def test_multi_outer_relation_one_row_per_outer(spark, tmp_path):
+    """A multipolygon relation with two outer rings emits one Polygon row
+    per outer (downstream overlay consumers decode single-Polygon ring
+    lists), with each inner assigned to its containing outer by PIP."""
+    nodes = [
+        # outer A: 0..20 square, with a hole 5..10
+        (1, 0.0, 0.0, {}), (2, 20.0, 0.0, {}), (3, 20.0, 20.0, {}), (4, 0.0, 20.0, {}),
+        (5, 5.0, 5.0, {}), (6, 10.0, 5.0, {}), (7, 10.0, 10.0, {}), (8, 5.0, 10.0, {}),
+        # outer B: 100..110 square, no hole
+        (11, 100.0, 100.0, {}), (12, 110.0, 100.0, {}), (13, 110.0, 110.0, {}), (14, 100.0, 110.0, {}),
+    ]
+    ways = [
+        (501, [1, 2, 3, 4, 1], {}),
+        (502, [5, 6, 7, 8, 5], {}),
+        (503, [11, 12, 13, 14, 11], {}),
+    ]
+    rels = [
+        (
+            601,
+            [("way", 501, "outer"), ("way", 502, "inner"), ("way", 503, "outer")],
+            {"type": "multipolygon", "natural": "water"},
+        )
+    ]
+    p = str(tmp_path / "multi.osm")
+    _write_osm(p, nodes, ways, rels)
+    tabs = read_osm_xml(spark, p, projection_spec=None)
+    rel_rows = [r for r in tabs["osm_polygon"].collect() if r["osm_id"] == -601]
+    assert len(rel_rows) == 2
+    geoms = [wkb.decode(bytes(r["way"])) for r in rel_rows]
+    assert all(k == "Polygon" for k, _ in geoms)
+    by_minx = sorted(geoms, key=lambda g: g[1][0][:, 0].min())
+    # outer A carries its hole; outer B has none; tags on both rows
+    assert len(by_minx[0][1]) == 2 and len(by_minx[1][1]) == 1
+    assert all(r["natural"] == "water" for r in rel_rows)
+
+
+def test_missing_node_ways_dropped(spark, tmp_path):
+    """Ways referencing nodes absent from a bbox-clipped file are discarded
+    (osm2pgsql parity) — including 'closed' rings missing a vertex, which
+    would otherwise encode an invalid <4-point Polygon."""
+    nodes = [(1, 0.0, 0.0, {}), (2, 10.0, 0.0, {}), (3, 10.0, 10.0, {})]
+    ways = [
+        (701, [1, 2], {"highway": "residential"}),          # complete line
+        (702, [1, 2, 99], {"highway": "residential"}),      # missing node 99
+        (703, [1, 2, 3, 98, 1], {"building": "yes"}),       # clipped ring
+    ]
+    p = str(tmp_path / "clip.osm")
+    _write_osm(p, nodes, ways)
+    tabs = read_osm_xml(spark, p, projection_spec=None)
+    assert [r["osm_id"] for r in tabs["osm_line"].collect()] == [701]
+    assert tabs["osm_polygon"].count() == 0
+
+
+def test_default_style_parity_wood_and_delete_list(spark, tmp_path):
+    """`wood` is linear in default.style:150 (closed way stays a line); the
+    full delete list strips editor-noise tags so a node carrying only them
+    gets no osm_point row."""
+    nodes = [
+        (1, 0.0, 0.0, {}), (2, 10.0, 0.0, {}), (3, 10.0, 10.0, {}),
+        (9, 50.0, 50.0, {"fixme": "check", "tiger:cfcc": "A41",
+                         "created_by": "editor", "attribution": "x"}),
+    ]
+    ways = [(801, [1, 2, 3, 1], {"wood": "deciduous"})]
+    p = str(tmp_path / "style.osm")
+    _write_osm(p, nodes, ways)
+    tabs = read_osm_xml(spark, p, projection_spec=None)
+    assert tabs["osm_point"].count() == 0
+    assert [r["osm_id"] for r in tabs["osm_line"].collect()] == [801]
+    assert tabs["osm_polygon"].count() == 0
+
+
 def test_micro_utm_projection(spark, tmp_path):
     """Same two ways in real lon/lat near Vienna; parsed with utm33 the edge
     length must match the true UTM distance computed via the projection

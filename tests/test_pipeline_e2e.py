@@ -72,6 +72,26 @@ def test_checkpoint_time_travel(spark, tmp_path):
         ck.read("t", version=1)
 
 
+def test_checkpoint_legacy_migration(spark, tmp_path):
+    """on_existing=delete over a pre-versioning layout migrates the legacy
+    part files to v000 before committing v001 — no stale files left loose in
+    the table dir, and the legacy snapshot stays time-travelable."""
+    import os
+
+    base = str(tmp_path)
+    # legacy layout: parquet directly under <base>/<name>
+    spark.range(3).write.parquet(os.path.join(base, "t"))
+    ck = Checkpointer(spark, base, on_existing="delete")
+    assert ck.read("t").count() == 3  # legacy read still works
+    ck.materialize(spark.range(7), "t")
+    # table dir now contains ONLY version dirs
+    entries = sorted(os.listdir(os.path.join(base, "t")))
+    assert entries == ["v000", "v001"]
+    assert ck.read("t").count() == 7
+    assert ck.read("t", version=0).count() == 3
+    assert [s["version"] for s in ck.snapshots("t")] == [0, 1]
+
+
 def test_null_column_audit(spark):
     df = spark.createDataFrame(
         [(1, None, "a"), (2, None, None)], "id long, dead string, half string"
