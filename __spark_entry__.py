@@ -1104,27 +1104,53 @@ def q_simhash_dedup(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
-def q_ann_lsh(spark, sf_dir):
-    from netascore_spark.operators.similarity import lsh_ann_topk
+def _ann_recall_verdict(spark, sf_dir, ann_fn, floor=0.5):
+    """Per-query recall@k of an ANN method vs the exact broadcast top-k,
+    reduced to a boolean verdict the DuckDB oracle can assert (the pair set
+    itself is probe-dependent; the verdict is deterministic — fixed seeds).
+    """
+    from netascore_spark.operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     dim = len(emb.select("embedding").first()[0])
-    return lsh_ann_topk(emb, queries, dim=dim, k=5, bits=8, tables=8)
+    ann = ann_fn(emb, queries, dim).select("query_id", "vec_id")
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    hits = exact.join(ann, ["query_id", "vec_id"], "left_semi")
+    n = exact.groupBy("query_id").agg(F.count("*").alias("n"))
+    h = hits.groupBy("query_id").agg(F.count("*").alias("h"))
+    return (
+        n.join(h, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("h"), F.lit(0)) / F.col("n") >= floor).alias(
+                "recall_pass"
+            ),
+        )
+    )
 
+
+def q_ann_lsh(spark, sf_dir):
+    from netascore_spark.operators.similarity import lsh_ann_topk
+
+    # bits=4/tables=24: measured recall@5 per query >=0.8 (mean 0.96) on the
+    # near-orthogonal gaussian driver embeddings; verdict floor 0.5
+    return _ann_recall_verdict(
+        spark, sf_dir,
+        lambda e, q, d: lsh_ann_topk(e, q, dim=d, k=5, bits=4, tables=24),
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
     from netascore_spark.operators.similarity import ivf_ann_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    # n_lists=16/n_probe=8: measured recall@5 per query >=0.8 (mean 0.92)
+    return _ann_recall_verdict(
+        spark, sf_dir,
+        lambda e, q, d: ivf_ann_topk(e, q, dim=d, k=5, n_lists=16, n_probe=8),
     )
-    dim = len(emb.select("embedding").first()[0])
-    return ivf_ann_topk(emb, queries, dim=dim, k=5, n_lists=16, n_probe=4)
 
 
 def q_embedding_dedup(spark, sf_dir):
@@ -1132,9 +1158,34 @@ def q_embedding_dedup(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    # driver embeddings are near-orthogonal gaussians (max pairwise
-    # cosine ~0.51); 0.4 exercises the refine path with non-empty output
-    return embedding_near_dups(emb, dim=dim, threshold=0.4)
+    # bits=4/tables=24 recalls ALL true pairs at threshold 0.4 on the driver
+    # embeddings (59/59 at sf0.01) — the oracle asserts full pair equality
+    # against the exact O(n^2) SQL (ids only: cos_sim floats are summation-
+    # order-sensitive in the 6th decimal; nearest pair sits >1e-4 from 0.4)
+    return (
+        embedding_near_dups(emb, dim=dim, threshold=0.4, bits=4, tables=24)
+        .select("id_a", "id_b")
+    )
+
+
+# The ANN candidate sets are probe-dependent (not SQL-expressible), so the
+# gated quantity is the per-query recall VERDICT: Spark computes recall@5 of
+# the ANN result against the exact broadcast top-k and reduces to a boolean;
+# the oracle asserts every query passes.  With fixed hyperplane/centroid
+# seeds the verdict is deterministic.
+_ANN_VERDICT_ORACLE = """
+SELECT vec_id AS query_id, true AS recall_pass
+FROM embeddings WHERE vec_id < 5
+"""
+
+# Full pair equality: the LSH-bucketed near-dup join (bits=4, tables=24)
+# recalls every cosine>=0.4 pair on the driver embeddings, and the refine is
+# exact — so the found set must equal the brute-force O(n^2) SQL pair set.
+_EMBEDDING_DEDUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1724,6 +1775,9 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": _PIP_ORACLE,
         "minhash_dedup": _minhash_oracle(),
         "simhash_dedup": _simhash_oracle(),
+        "ann_lsh": _ANN_VERDICT_ORACLE,
+        "ann_ivf": _ANN_VERDICT_ORACLE,
+        "embedding_dedup": _EMBEDDING_DEDUP_ORACLE,
         # remaining spatial/web-scale ops: rows-only (the geometry kernel
         # over fixture WKB is not ANSI-SQL-expressible)
     }
