@@ -349,46 +349,60 @@ def drop_dangling_indoor(corrected: DataFrame, cell_size: float = 200.0) -> Data
     if not ind:
         return corrected
 
-    # endpoints of ALL edges whose point lies on some indoor edge: restrict
-    # the candidate edge set via cell join against indoor geometries.
+    # endpoints of ALL edges whose point lies on some indoor edge: the
+    # candidate set is bounded by a cell join against the indoor SEGMENT
+    # cover, and the exact point-on-indoor-edge refine runs DISTRIBUTED
+    # (native point_segment_dist_expr, bit-identical to
+    # ops.point_line_dist) so only true on-edge endpoints reach the driver
+    # — no O(|pts| x |indoor|) python scan.
     all_pts = corrected.select(
         "osm_id", "seg_seq", spatial.endpoints_udf()(F.col("geom")).alias("e")
     ).select(
         "osm_id", "seg_seq",
-        F.explode(
+        F.posexplode(
             F.array(
-                F.struct(F.col("e.x0").alias("x"), F.col("e.y0").alias("y")),
-                F.struct(F.col("e.x1").alias("x"), F.col("e.y1").alias("y")),
+                F.struct(F.col("e.x0").alias("px"), F.col("e.y0").alias("py")),
+                F.struct(F.col("e.x1").alias("px"), F.col("e.y1").alias("py")),
             )
-        ).alias("p"),
-    ).select("osm_id", "seg_seq", "p.x", "p.y")
+        ).alias("ei", "p"),
+    ).select("osm_id", "seg_seq", "ei", "p.px", "p.py")
 
-    # indoor cell cover (driver-side; |indoor| is tiny) -> semi-join filter
+    # broadcast indoor SEGMENT table with its cell cover (driver-built;
+    # |indoor| is tiny by definition of this fixpoint)
     from netascore_spark import grid as _grid
 
-    indoor_cells: set[int] = set()
-    for *_, coords in ind:
-        indoor_cells.update(
-            int(c) for c in _grid.cover_line(coords, cell_size, pad=1e-6)
-        )
-    cells_df = corrected.sparkSession.createDataFrame(
-        [(c,) for c in sorted(indoor_cells)], "cell long"
+    seg_rows = []
+    for li, (_, _, coords) in enumerate(ind):
+        for i in range(len(coords) - 1):
+            a, b = coords[i], coords[i + 1]
+            for c in _grid.cover_line(
+                np.array([a, b]), cell_size, pad=1e-6
+            ):
+                seg_rows.append(
+                    (li, float(a[0]), float(a[1]), float(b[0]), float(b[1]), int(c))
+                )
+    segs_df = corrected.sparkSession.createDataFrame(
+        seg_rows, "li int, sx1 double, sy1 double, sx2 double, sy2 double, cell long"
     )
-    pts = all_pts.withColumn(
-        "cell", spatial.point_cell_expr(F.col("x"), F.col("y"), cell_size)
-    ).join(F.broadcast(cells_df), "cell", "left_semi").collect()
+    pts = (
+        all_pts.withColumn(
+            "cell", spatial.point_cell_expr(F.col("px"), F.col("py"), cell_size)
+        )
+        .join(F.broadcast(segs_df), "cell")
+        .withColumn("d", spatial.point_segment_dist_expr())
+        .filter(F.col("d") <= _EPS_PT)
+        # one row per ORIGINAL endpoint row (several segments may match)
+        .groupBy("osm_id", "seg_seq", "ei", "px", "py")
+        .count()
+        .collect()
+    )
 
     # indoor_points: endpoint rows intersecting an indoor edge
-    indoor_pts = []  # (point_key, owner_link)
-    for r in pts:
-        p = np.array([r["x"], r["y"]])
-        for osm_id, seg_seq, coords in ind:
-            if ops.point_line_dist(p, coords) <= _EPS_PT:
-                indoor_pts.append(
-                    {"key": (round(r["x"], 7), round(r["y"], 7)),
-                     "link": (r["osm_id"], r["seg_seq"])}
-                )
-                break
+    indoor_pts = [
+        {"key": (round(r["px"], 7), round(r["py"], 7)),
+         "link": (r["osm_id"], r["seg_seq"])}
+        for r in pts
+    ]
 
     indoor_links = {(o, s): c for o, s, c in ind}
     deleted: set[tuple] = set()

@@ -295,6 +295,25 @@ def nearest_edges(
         )
     # k>1: collapse segments to per-(url, edge) line distance, then rank
     per_edge = scored.groupBy("url", "edge_id").agg(F.min("dist").alias("dist"))
+    if k <= 8:
+        # small-k: array_sort(collect_list)+slice aggregation instead of a
+        # per-url window — partial (map-side) aggregation, no full
+        # shuffle+sort per key; the collected array is bounded by the
+        # radius-candidate count, not the table.  struct field order
+        # (dist, edge_id) reproduces the window ordering exactly.
+        topk = per_edge.groupBy("url").agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist", "edge_id"))), 1, k
+            ).alias("top")
+        )
+        return topk.select(
+            "url", F.posexplode("top").alias("pos", "t")
+        ).select(
+            "url",
+            F.col("t.edge_id").alias("edge_id"),
+            F.round(F.col("t.dist"), 6).alias("dist"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
     w = Window.partitionBy("url").orderBy(F.col("dist").asc(), F.col("edge_id").asc())
     return (
         per_edge.withColumn("rank", F.row_number().over(w))

@@ -153,3 +153,41 @@ def test_id_paths_identical(spark):
           for r in e2.select("edge_id", "osm_id", "seg_seq", "from_node", "to_node").collect()}
     assert k1 == k2
     assert n1.count() == n2.count()
+
+
+def test_dangling_indoor_dense_fixture(spark):
+    """1k-indoor-edge stress for the DISTRIBUTED on-edge refine: dangling
+    pairs collapse in two fixpoint rounds, triangles survive — and the
+    driver only ever sees endpoints that actually lie on an indoor edge."""
+    rows = []
+
+    def edge(osm_id, seg_seq, a, b, indoor=True):
+        geom = wkb.encode(("LineString", np.array([a, b], dtype=float)))
+        rows.append((osm_id, seg_seq, geom,
+                     {"indoor": "yes"} if indoor else {}))
+
+    # 400 dangling 2-chains (A-B-C): both edges must fall (2 rounds)
+    for i in range(400):
+        x = i * 50.0
+        edge(1000 + i, 0, (x, 0.0), (x, 10.0))
+        edge(1000 + i, 1, (x, 10.0), (x, 20.0))
+    # 100 triangles (every vertex owned by 2 edges): all survive
+    for i in range(100):
+        x = i * 50.0
+        a, b, c = (x, 1000.0), (x + 10.0, 1000.0), (x, 1010.0)
+        edge(5000 + i, 0, a, b)
+        edge(5000 + i, 1, b, c)
+        edge(5000 + i, 2, c, a)
+    # outdoor edges never touched
+    for i in range(50):
+        x = i * 50.0
+        edge(9000 + i, 0, (x, 5000.0), (x + 10.0, 5000.0), indoor=False)
+
+    df = spark.createDataFrame(
+        rows, "osm_id long, seg_seq int, geom binary, tags map<string,string>"
+    )
+    out = N.drop_dangling_indoor(df)
+    kept = {(r["osm_id"], r["seg_seq"]) for r in out.collect()}
+    assert not any(1000 <= o < 1400 for o, _ in kept)          # chains gone
+    assert sum(1 for o, _ in kept if 5000 <= o < 5100) == 300  # triangles stay
+    assert sum(1 for o, _ in kept if o >= 9000) == 50          # outdoor kept

@@ -57,6 +57,27 @@ def test_point_in_polygon_join(spark, pages_extracted):
     assert multi > 0
 
 
+def test_knn_smallk_agg_matches_window(spark, pages_extracted):
+    """k<=8 uses the map-side array_sort(collect_list)+slice aggregation;
+    pinned row-identical to the window-rank path (k>8), and the plan must
+    show the aggregation, not a Window sort."""
+    osm = fixtures.osm_lines(spark, scale=1)
+    edges, _ = N.build_network(osm)
+    edges = edges.localCheckpoint()  # truncate id-assignment lineage: the
+    # plan assertion below must see only the kNN operators
+    agg = P.nearest_edges(pages_extracted, edges, k=3, radius=500.0)
+    win = P.nearest_edges(pages_extracted, edges, k=9, radius=500.0)
+    a = {(r["url"], r["rank"]): (r["edge_id"], r["dist"]) for r in agg.collect()}
+    b = {
+        (r["url"], r["rank"]): (r["edge_id"], r["dist"])
+        for r in win.collect()
+        if r["rank"] <= 3
+    }
+    assert a == b and a
+    agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in agg_plan and "collect_list" in agg_plan
+
+
 def test_nearest_edge_knn(spark, pages_extracted):
     osm = fixtures.osm_lines(spark, scale=1)
     edges, _ = N.build_network(osm)
