@@ -109,13 +109,15 @@ def _load_import(spark: SparkSession, imp: dict, base_path: str):
         # (building/crossing/facility/greenness/water, import_step.py:432+)
         # with scalable ids over the (src, osm_id) total order.
         from netascore_spark.sources.osmxml import read_osm_xml
+        from netascore_spark.sources.osmpbf import read_osm_pbf
         from netascore_spark.sources import layers as L
         from netascore_spark.operators.ids import assign_ids
 
         _require_keys(imp, ["filename"], "error: import section is missing:")
         p = imp["filename"]
         p = p if os.path.isabs(p) else os.path.join(base_path, p)
-        tables = read_osm_xml(spark, p, imp.get("projection", "utm"))
+        reader = read_osm_pbf if p.endswith(".pbf") else read_osm_xml
+        tables = reader(spark, p, imp.get("projection", "utm"))
         pt, ln, pg = tables["osm_point"], tables["osm_line"], tables["osm_polygon"]
 
         def with_id(df, name):

@@ -160,6 +160,15 @@ def parse_osm_xml(
     Node coordinates are projected per chunk (vectorized numpy) during the
     stream — the only driver-side compute besides XML tokenization itself.
     """
+    return parse_osm_stream(spark, _iter_elements(path), projection_spec)
+
+
+def parse_osm_stream(
+    spark: SparkSession, elements: Iterator[tuple], projection_spec="utm"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Element stream ('node'|'way'|'relation', payload) -> (nodes, ways,
+    relations) DataFrames in bounded-memory chunks.  Shared by the .osm XML
+    tokenizer and the .osm.pbf blob reader (sources/osmpbf.py)."""
     proj = _make_projector(projection_spec)
     n_chunks: list[DataFrame] = []
     w_chunks: list[DataFrame] = []
@@ -191,7 +200,7 @@ def parse_osm_xml(
             r_chunks.append(spark.createDataFrame(list(rels), _REL_SCHEMA))
             rels.clear()
 
-    for kind, payload in _iter_elements(path):
+    for kind, payload in elements:
         if kind == "node":
             nodes.append(payload)
             if len(nodes) >= _CHUNK:
@@ -268,6 +277,14 @@ def read_osm_xml(
     rows (outer ring + holes), keyed -rel_id like osm2pgsql.
     """
     nodes, ways, rels = parse_osm_xml(spark, path, projection_spec)
+    return assemble_tables(spark, nodes, ways, rels)
+
+
+def assemble_tables(
+    spark: SparkSession, nodes: DataFrame, ways: DataFrame, rels: DataFrame
+) -> dict[str, DataFrame]:
+    """Distributed way assembly + default.style classification over parsed
+    (nodes, ways, relations) frames — shared by the XML and PBF readers."""
     nodes = cache.track(nodes.persist())
 
     # ---- osm_point: nodes with >=1 surviving tag -------------------------
