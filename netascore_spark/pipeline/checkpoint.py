@@ -43,11 +43,44 @@ class Checkpointer:
         spark: SparkSession,
         base_dir: str,
         on_existing: str = "skip",  # skip | delete | abort
+        catalog: str | None = "auto",
     ):
+        """``catalog``: Iceberg catalog selection is CONFIG-ONLY — "auto"
+        (default) uses the first ``spark.sql.catalog.<name>`` the session
+        has configured (none configured -> the parquet+manifest emulation);
+        an explicit name pins that catalog; ``None``/"" forces parquet.
+        Users with a real Iceberg catalog get Iceberg tables without any
+        code change; this sandbox (no Iceberg runtime) exercises the
+        selection logic and the emulation."""
         self.spark = spark
         self.base_dir = base_dir
         self.on_existing = on_existing
+        if catalog == "auto":
+            catalog = self._detect_catalog()
+        self.catalog = catalog or None
         os.makedirs(os.path.join(base_dir, "_lineage"), exist_ok=True)
+
+    @property
+    def backend(self) -> str:
+        return "iceberg" if self.catalog else "parquet"
+
+    def _detect_catalog(self) -> str | None:
+        """First configured ``spark.sql.catalog.<name>`` (sorted), else None
+        — pure config inspection, no Iceberg classes touched."""
+        try:
+            rows = self.spark.sql("SET").collect()
+        except Exception:  # pragma: no cover - defensive
+            return None
+        names = set()
+        for r in rows:
+            key = r["key"]
+            if key.startswith("spark.sql.catalog."):
+                rest = key[len("spark.sql.catalog."):]
+                names.add(rest.split(".", 1)[0])
+        return sorted(names)[0] if names else None
+
+    def _iceberg_table(self, name: str) -> str:
+        return f"{self.catalog}.netascore.{name}"
 
     # -- paths -------------------------------------------------------------
 
@@ -86,6 +119,11 @@ class Checkpointer:
     # -- existence / resolve ----------------------------------------------
 
     def exists(self, name: str) -> bool:
+        if self.backend == "iceberg":
+            try:
+                return self.spark.catalog.tableExists(self._iceberg_table(name))
+            except Exception:
+                return False
         m = self._manifest(name)
         if m is not None:
             cur = self._version_dir(name, m["current"])
@@ -144,6 +182,18 @@ class Checkpointer:
                     "(dbhelper.py:270-289 semantics)"
                 )
             # delete: fall through and commit the next version
+
+        if self.backend == "iceberg":
+            try:
+                return self._materialize_iceberg(df, name, partition_by)
+            except Exception as exc:
+                import warnings
+
+                warnings.warn(
+                    f"iceberg catalog '{self.catalog}' unusable ({exc}); "
+                    "falling back to the parquet snapshot emulation"
+                )
+                self.catalog = None
 
         m = self._manifest(name)
         if m is None:
@@ -216,11 +266,34 @@ class Checkpointer:
             json.dump(meta, fh, indent=2)
         return out
 
+    def _materialize_iceberg(
+        self, df: DataFrame, name: str, partition_by: list[str] | None
+    ) -> DataFrame:
+        """Real Iceberg commit: createOrReplace = a new snapshot; Iceberg's
+        own metadata supplies the versioning/time-travel the parquet
+        emulation reimplements."""
+        tbl = self._iceberg_table(name)
+        writer = df.writeTo(tbl).using("iceberg")
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        return self.spark.table(tbl)
+
     def read(
         self, name: str, version: int | None = None, as_of: float | None = None
     ) -> DataFrame:
         """Reader for a snapshot: current (default), a specific ``version``,
         or the latest committed at-or-before ``as_of`` epoch seconds."""
+        if self.backend == "iceberg":
+            tbl = self._iceberg_table(name)
+            if version is not None:
+                return self.spark.sql(f"SELECT * FROM {tbl} VERSION AS OF {version}")
+            if as_of is not None:
+                return self.spark.sql(
+                    f"SELECT * FROM {tbl} FOR SYSTEM_TIME AS OF "
+                    f"to_timestamp({as_of})"
+                )
+            return self.spark.table(tbl)
         return self.spark.read.parquet(self._resolve(name, version, as_of))
 
     def expire_snapshots(self, name: str, keep_last: int = 1) -> list[int]:

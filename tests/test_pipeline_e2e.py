@@ -97,3 +97,34 @@ def test_null_column_audit(spark):
         [(1, None, "a"), (2, None, None)], "id long, dead string, half string"
     )
     assert null_column_audit(df) == ["dead"]
+
+
+def test_checkpoint_iceberg_backend_selection_is_config_only(spark, tmp_path):
+    """Backend choice follows spark.sql.catalog.* configuration — no code
+    change for users with a real catalog; no catalog -> parquet emulation.
+    (The container has no Iceberg runtime, so only selection + fallback are
+    exercised here; the write path maps 1:1 onto writeTo().createOrReplace.)
+    """
+    base = str(tmp_path)
+    assert Checkpointer(spark, base).backend == "parquet"
+
+    spark.conf.set("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        ck = Checkpointer(spark, base)
+        assert ck.backend == "iceberg" and ck.catalog == "lake"
+        # explicit overrides
+        assert Checkpointer(spark, base, catalog=None).backend == "parquet"
+        assert Checkpointer(spark, base, catalog="other").catalog == "other"
+        # without the Iceberg runtime the write degrades to the parquet
+        # emulation with a warning instead of aborting the pipeline
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = ck.materialize(spark.range(4), "t")
+        assert out.count() == 4
+        assert ck.backend == "parquet"
+        assert any("falling back" in str(x.message) for x in w)
+        assert ck.read("t").count() == 4
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")

@@ -166,3 +166,73 @@ def test_scores_bounded_and_robustness_formula(spark):
                     assert 0.0 <= v <= 1.0, (r["edge_id"], p, d, v)
                 if rb is not None:
                     assert 0.0 <= rb <= 1.0 + 1e-9
+
+
+# --- native Column exprs vs the python kernel (term-for-term claims) --------
+
+@given(
+    st.lists(
+        st.tuples(coord, coord, coord, coord, coord, coord),
+        min_size=1, max_size=25,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_point_segment_dist_expr_matches_kernel(spark, rows):
+    """spatial.point_segment_dist_expr is claimed term-for-term identical to
+    ops.points_line_dist on a single segment — verify bit-for-bit over
+    random points/segments (incl. degenerate zero-length segments)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from netascore_spark.operators import spatial
+
+    pdf = pd.DataFrame(
+        rows, columns=["px", "py", "sx1", "sy1", "sx2", "sy2"]
+    ).astype("float64")
+    got = (
+        spark.createDataFrame(pdf)
+        .withColumn("d", spatial.point_segment_dist_expr())
+        .toPandas()["d"]
+        .to_numpy()
+    )
+    exp = np.array(
+        [
+            ops.points_line_dist(
+                np.array([[r[0], r[1]]]), np.array([[r[2], r[3]], [r[4], r[5]]])
+            )[0]
+            for r in rows
+        ]
+    )
+    assert (got == exp).all() or np.array_equal(got, exp, equal_nan=True)
+
+
+@given(
+    st.lists(st.tuples(coord, coord), min_size=3, max_size=8),
+    st.lists(st.tuples(coord, coord), min_size=1, max_size=25),
+)
+@settings(max_examples=60, deadline=None)
+def test_pip_expr_matches_kernel(spark, ring_pts, probes):
+    """spatial.pip_expr (native ray-cast over ring-edge arrays) must agree
+    bit-for-bit with ops.point_in_polygon for simple rings."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from netascore_spark.geometry import wkb as _wkb
+    from netascore_spark.operators import spatial
+
+    ring = np.array(ring_pts + ring_pts[:1], dtype=float)
+    if abs(ops.ring_signed_area(ring)) < 1e-6:
+        return  # degenerate sliver: PIP of a zero-area ring is out of domain
+    geom = _wkb.encode(("Polygon", [ring]))
+    pdf = pd.DataFrame(probes, columns=["px", "py"]).astype("float64")
+    pdf["geom"] = [bytearray(geom)] * len(pdf)
+    df = spark.createDataFrame(pdf).withColumn(
+        "rings", spatial.polygon_rings_udf()(F.col("geom"))
+    )
+    got = (
+        df.withColumn("hit", spatial.pip_expr(F.col("px"), F.col("py"), F.col("rings")))
+        .toPandas()["hit"]
+        .to_numpy()
+    )
+    exp = np.array(
+        [ops.point_in_polygon(np.array(p, dtype=float), [ring]) for p in probes]
+    )
+    assert (got == exp).all()
