@@ -1408,6 +1408,61 @@ FROM events GROUP BY 1
 """
 
 
+def q_hilbert_key(spark, sf_dir):
+    """Hilbert-curve cell ordering (grid.hilbert_key / native
+    spatial.hilbert_key_expr): the locality-preserving total order used for
+    range-partitioning hot tiles.  The oracle renders the same 21-round
+    xy->d bit transform as chained SQL CTEs."""
+    from netascore_spark import grid
+    from netascore_spark.operators import spatial
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    ix = F.floor((F.col("event_id") * 48271 % 10000 / 10.0) / F.lit(200.0)).cast("long")
+    iy = F.floor((F.col("event_id") * 69621 % 10000 / 10.0) / F.lit(200.0)).cast("long")
+    cell = F.shiftleft(ix + F.lit(grid._B), grid._SHIFT).bitwiseOR(iy + F.lit(grid._B))
+    return ev.select(
+        "event_id",
+        cell.alias("cell"),
+        spatial.hilbert_key_expr(cell).alias("hkey"),
+    )
+
+
+def _hilbert_oracle() -> str:
+    head = f"""WITH r AS (
+    SELECT event_id,
+           (CAST(floor(({_PT_X}) / 200.0) AS BIGINT) + 1048576) * 2097152
+           + (CAST(floor(({_PT_Y}) / 200.0) AS BIGINT) + 1048576) AS cell,
+           CAST(floor(({_PT_X}) / 200.0) AS BIGINT) + 1048576 AS x,
+           CAST(floor(({_PT_Y}) / 200.0) AS BIGINT) + 1048576 AS y,
+           CAST(0 AS BIGINT) AS d
+    FROM events WHERE event_id < 4000
+)"""
+    parts = [head]
+    prev = "r"
+    s = 1 << 20
+    i = 0
+    while s > 0:
+        nm = f"r{i}"
+        rx = f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END"
+        ry = f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END"
+        parts.append(f""", {nm} AS (
+    SELECT event_id, cell,
+           CASE WHEN (y & {s}) = 0
+                THEN CASE WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END
+                ELSE x END AS x,
+           CASE WHEN (y & {s}) = 0
+                THEN CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END
+                ELSE y END AS y,
+           d + {s}::BIGINT * {s} * xor(({rx}) * 3, {ry}) AS d
+    FROM {prev}
+)""")
+        prev = nm
+        s >>= 1
+        i += 1
+    parts.append(f"\nSELECT event_id, cell, d AS hkey FROM {prev}")
+    return "".join(parts)
+
+
 def q_dwithin_join(spark, sf_dir):
     """Distributed DWithin self-join via the cell-grid pattern, ZERO python
     (operators/spatial.dwithin_points_native) — hash-checked against the
@@ -1718,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_tiling": q_grid_tiling,
         "dwithin_join": q_dwithin_join,
         "knn_join": q_knn_join,
+        "hilbert_key": q_hilbert_key,
         "pip_join": q_pip_join,
         # spatial / web-scale (rows-only)
         "network_edges": q_network_edges,
@@ -1775,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": _PIP_ORACLE,
         "minhash_dedup": _minhash_oracle(),
         "simhash_dedup": _simhash_oracle(),
+        "hilbert_key": _hilbert_oracle(),
         "ann_lsh": _ANN_VERDICT_ORACLE,
         "ann_ivf": _ANN_VERDICT_ORACLE,
         "embedding_dedup": _EMBEDDING_DEDUP_ORACLE,

@@ -22,15 +22,18 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
-    # fixture sizes scale with sf (FIXTURES.md: 2k/20k/200k pages);
-    # SPARK_GRAFT_PAGES overrides (the scaling harness uses a larger input
-    # so fixed stage overhead doesn't dominate the measurement)
-    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", 0)) or max(int(2_000_000 * sf), 2000)
-    # sf0.1 default runs the MATCHED-scale network (~100k edges, scale 28) so
-    # edges/sec is comparable to the reference's Austria-scale per-op table
-    # (BASELINE.md); SPARK_GRAFT_OSM_SCALE overrides.
+    # fixture sizes scale with sf (FIXTURES.md); SPARK_GRAFT_PAGES overrides.
+    # sf0.1 headline runs AMORTIZED scale (2.4M pages / ~400k edges, the
+    # round-3 scaling-harness legs): at 200k pages / 100k edges, fixed stage
+    # scheduling still dominates several per-op numbers, so round-over-round
+    # comparisons happened below the engine's operating point.
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", 0)) or (
+        2_400_000 if sf >= 0.1 else max(int(2_000_000 * sf), 2000)
+    )
+    # scale 56 ~= 400k edges (2x the matched-scale run; two-phase scalable
+    # ids active).  SPARK_GRAFT_OSM_SCALE overrides.
     osm_scale = int(os.environ.get("SPARK_GRAFT_OSM_SCALE", 0)) or {
-        0.001: 2, 0.01: 3, 0.1: 28,
+        0.001: 2, 0.01: 3, 0.1: 56,
     }.get(sf, max(2, int(60 * sf)))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -47,6 +50,11 @@ def main() -> None:
     # SPARK_GRAFT_MASTER overrides the master, e.g. local-cluster[4,8,4096]
     # for separate executor JVMs (the honest N->4N executor proxy).
     master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    # size the JVM to the cached working set (~6 GB of page caches at 2.4M
+    # pages thrash an 8g heap into GC; a real cluster sizes executor memory
+    # the same way)
+    if n_pages >= 1_000_000:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = build_session(
         app_name="netascore-bench", master=master,
         shuffle_partitions=64,

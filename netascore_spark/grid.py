@@ -110,3 +110,56 @@ def cover_polygon(rings: list[np.ndarray], cell_size: float = DEFAULT_CELL_SIZE,
         float(ext[:, 0].max()), float(ext[:, 1].max()),
         cell_size, pad,
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve cell ordering (H3-style locality for range partitioning)
+# ---------------------------------------------------------------------------
+
+_HILBERT_ORDER = _SHIFT  # 21-bit grid indices -> 42-bit keys
+
+
+def hilbert_key(cell_id):
+    """Hilbert-curve distance of cell(s): a locality-preserving total order
+    over the grid (consecutive keys are always edge-adjacent cells).  Used
+    for RANGE partitioning of hot tiles — contiguous key ranges are compact
+    spatial blobs, unlike the raw (ix<<21|iy) id whose ranges are stripes.
+    Vectorized numpy; 21 rounds of the classic xy->d bit transform."""
+    c = np.asarray(cell_id, dtype=np.int64)
+    x = (c >> _SHIFT).astype(np.int64)           # ix + 2^20 (non-negative)
+    y = (c & ((1 << _SHIFT) - 1)).astype(np.int64)
+    d = np.zeros_like(x)
+    s = np.int64(1 << (_HILBERT_ORDER - 1))
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: reflect when rx==1, swap when ry==0
+        refl = ry == 0
+        xr = np.where(rx == 1, s - 1 - x, x)
+        yr = np.where(rx == 1, s - 1 - y, y)
+        x, y = np.where(refl, yr, x), np.where(refl, xr, y)
+        s >>= 1
+    return d
+
+
+def hilbert_cell(key):
+    """Inverse of :func:`hilbert_key` -> cell id(s) (d -> xy transform)."""
+    d = np.asarray(key, dtype=np.int64)
+    x = np.zeros_like(d)
+    y = np.zeros_like(d)
+    t = d.copy()
+    s = np.int64(1)
+    while s < (1 << _HILBERT_ORDER):
+        rx = (t // 2) & 1
+        ry = (t ^ rx) & 1
+        # rotate back
+        xr = np.where(rx == 1, s - 1 - x, x)
+        yr = np.where(rx == 1, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, yr, x), np.where(swap, xr, y)
+        x = x + s * rx
+        y = y + s * ry
+        t //= 4
+        s <<= 1
+    return (x << _SHIFT) | y

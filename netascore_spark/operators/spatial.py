@@ -729,3 +729,27 @@ def salt_cells(
         ).otherwise(F.col(cell_col).cast("string")),
     ).drop("__salt")
     return big_s, small_s
+
+
+def hilbert_key_expr(cell: Column) -> Column:
+    """grid.hilbert_key as a native Column (whole-stage-codegen; 21 unrolled
+    rounds of the xy->d bit transform).  ``df.repartitionByRange(n,
+    hilbert_key_expr(F.col("cell")))`` gives locality-preserving range
+    partitions: each partition is a compact spatial blob, so hot urban
+    tiles co-locate with their neighbours instead of striping."""
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    x = F.shiftright(cell, grid._SHIFT)
+    y = cell.bitwiseAND(F.lit((1 << grid._SHIFT) - 1))
+    d = zero
+    s = 1 << (grid._HILBERT_ORDER - 1)
+    while s > 0:
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, one).otherwise(zero)
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, one).otherwise(zero)
+        d = d + F.lit(s) * F.lit(s) * (rx * F.lit(3)).bitwiseXOR(ry)
+        xr = F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)
+        yr = F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)
+        swap = ry == 0
+        x, y = F.when(swap, yr).otherwise(x), F.when(swap, xr).otherwise(y)
+        s >>= 1
+    return d

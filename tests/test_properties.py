@@ -236,3 +236,39 @@ def test_pip_expr_matches_kernel(spark, ring_pts, probes):
         [ops.point_in_polygon(np.array(p, dtype=float), [ring]) for p in probes]
     )
     assert (got == exp).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 42) - 1), min_size=1, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_hilbert_roundtrip_and_adjacency(keys):
+    """hilbert_key/hilbert_cell are inverse bijections, and consecutive keys
+    land on edge-adjacent cells (THE Hilbert locality property that makes
+    range partitions compact spatial blobs)."""
+    from netascore_spark import grid
+
+    d = np.array(keys, dtype=np.int64)
+    assert (grid.hilbert_key(grid.hilbert_cell(d)) == d).all()
+    start = min(int(d[0]), (1 << 42) - 64)  # stay on-curve: no wraparound
+    run = np.arange(start, start + 64, dtype=np.int64)
+    ix, iy = grid.cell_xy(grid.hilbert_cell(run))
+    man = np.abs(np.diff(ix)) + np.abs(np.diff(iy))
+    assert (man == 1).all()
+
+
+def test_hilbert_expr_matches_numpy(spark):
+    """The native Column hilbert_key_expr agrees with the numpy transform."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from netascore_spark import grid
+    from netascore_spark.operators import spatial
+
+    rng = np.random.RandomState(11)
+    cells = grid.cell(
+        rng.uniform(-5e5, 5e5, size=500), rng.uniform(-5e5, 5e5, size=500)
+    )
+    df = spark.createDataFrame(pd.DataFrame({"cell": cells}))
+    got = (
+        df.withColumn("k", spatial.hilbert_key_expr(F.col("cell")))
+        .toPandas()["k"].to_numpy()
+    )
+    assert (got == grid.hilbert_key(cells)).all()
