@@ -48,14 +48,17 @@ def build_session(
         # shuffle.partitions x per-task Python overhead (size-based
         # coalescing keeps big caches many-partitioned at scale)
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-        # PARALLELISM-first shuffle coalescing: tiny shuffles still collapse
-        # to one task (minPartitionSize 1 MB), but mid-size shuffles split
-        # by core count instead of the byte advisory.  Size-based coalescing
-        # (parallelismFirst=false, 16 MB advisory) serialized the kNN cell
-        # join: its shuffle INPUT is ~30 MB of slim rows, but the join fans
-        # out ~30x and computes the distance refine on the fan-out — AQE
-        # coalesced it to 1-2 tasks and the whole phase ran on one core.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        # SIZE-based shuffle coalescing (not parallelism-first): tiny
+        # shuffles collapse to one task instead of shuffle.partitions
+        # Python-UDF launches; big shuffles keep 16 MB partitions.
+        # (parallelism-first was tried in round 4 and REVERTED: it removes
+        # the byte cap, so a multi-GB url-join shuffle coalesced to
+        # total/parallelism ≈ 500 MB partitions and spilled — pages stage
+        # 47.8 s -> 86.6 s at 8 cores.  The one place size-based coalescing
+        # under-provisions — a small shuffle INPUT fanning out 30x in the
+        # kNN cell join — is pinned locally with an explicit repartition in
+        # pipeline/pages.nearest_edges instead.)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
