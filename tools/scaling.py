@@ -56,14 +56,25 @@ def main():
     )
     results = {}
 
-    def leg(key, cpus, master=None):
-        results[key] = run_bench(cpus, sf_dir, master)
+    def leg(key, cpus, master=None, runs=1):
+        """Best-of-``runs``: a cold OS page cache / python-worker spawn can
+        cost a first run ~20 s on the extract sub-op alone (measured 23.7 s
+        vs 4.8 s back-to-back at identical config), so single-run legs carry
+        +-30% noise.  Identical input and plan across runs; min is the
+        engine, the rest is the box."""
+        best = None
+        for _ in range(runs):
+            r = run_bench(cpus, sf_dir, master)
+            if best is None or r["value"] < best["value"]:
+                best = r
+            print(f"leg {key} run: {r['value']}s", file=sys.stderr)
+        results[key] = best
         with open(f"BENCH_local{key}.json", "w") as fh:  # crash-safe: per leg
-            json.dump(results[key], fh, indent=1)
-        print(f"leg {key} done: {results[key]['value']}s", file=sys.stderr)
+            json.dump(best, fh, indent=1)
+        print(f"leg {key} best: {best['value']}s", file=sys.stderr)
 
     for c in (2, 8, 32):
-        leg(c, c)
+        leg(c, c, runs=2)
     # multi-JVM pair: 2 executors x 4 cores -> 8 executors x 4 cores.  Each
     # executor is its OWN JVM with its own heap and python worker pool — the
     # closest sandbox analog of adding executors to a cluster (the single-JVM
