@@ -22,6 +22,8 @@ the rest at runtime.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -285,9 +287,7 @@ def nearest_edges(
     # tasks (measured: 16M candidate rows in ONE partition at 600k pages).
     # An explicit count is exempt from coalescing, so the compute keeps
     # shuffle.partitions-wide parallelism at every input size.
-    import os as _os
-
-    if geom_strategy != "broadcast" and _os.environ.get("SPARK_GRAFT_KNN_PIN", "1") != "0":
+    if geom_strategy != "broadcast" and os.environ.get("SPARK_GRAFT_KNN_PIN", "1") != "0":
         # 2x total cores: full CPU utilization with headroom for stragglers,
         # scaling with the cluster rather than a fixed constant (64 fixed
         # partitions measurably slow the 2-core leg with task overhead)
