@@ -49,11 +49,16 @@ def polygon_area(rings: list[np.ndarray]) -> float:
 # ---------------------------------------------------------------------------
 
 def point_seg_dist(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> float:
+    # explicit mul/add dots (NOT `@`): np.dot routes 2-vectors through a
+    # BLAS kernel whose FMA rounds differently by 1 ULP — mul/add is what
+    # the vectorized twins (point_line_dist, locate_points) and the native
+    # Column expressions compute, so the scalar kernel must match them
     ab = b - a
-    denom = float(ab @ ab)
+    denom = float(ab[0] * ab[0] + ab[1] * ab[1])
     if denom <= EPS * EPS:
         return float(np.hypot(*(p - a)))
-    t = max(0.0, min(1.0, float((p - a) @ ab) / denom))
+    ap = p - a
+    t = max(0.0, min(1.0, float(ap[0] * ab[0] + ap[1] * ab[1]) / denom))
     proj = a + t * ab
     return float(np.hypot(*(p - proj)))
 
@@ -279,12 +284,72 @@ def locate_point(coords: np.ndarray, p: np.ndarray, eps: float = 1e-7):
         d = point_seg_dist(p, a, b)
         if d <= best_d:
             t = 0.0
-            if seg_len > 0:
-                t = float(np.clip((p - a) @ seg / (seg_len * seg_len), 0.0, 1.0))
+            # guard on the DIVISOR (seg_len**2), not seg_len: a subnormal
+            # segment length squares to exactly 0.0 (underflow) and the
+            # division would yield nan/inf
+            d2 = seg_len * seg_len
+            if d2 > 0:
+                ap = p - a
+                t = float(np.clip(
+                    (ap[0] * seg[0] + ap[1] * seg[1]) / d2,
+                    0.0, 1.0,
+                ))
             best = acc + t * seg_len
             best_d = d
         acc += seg_len
     return best
+
+
+def locate_points(coords: np.ndarray, pts: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Vectorized :func:`locate_point` over many points at once.
+
+    Bit-identical to the scalar loop: same ufuncs in the same order
+    (``np.hypot`` for distances, the ``seg_len**2`` divisor for the
+    returned param, ``np.cumsum`` matching the sequential ``acc``
+    accumulation), and the scalar's accept rule — minimal distance wins,
+    ties go to the LAST segment — reproduced with a reversed argmin.
+    Returns an array of arc params with NaN for points not on the line.
+    """
+    S = len(coords) - 1
+    P = len(pts)
+    if S < 1 or P == 0:
+        return np.full(P, np.nan)
+    a = coords[:-1]
+    seg = coords[1:] - a
+    seg_len = np.hypot(seg[:, 0], seg[:, 1])
+    acc = np.concatenate(([0.0], np.cumsum(seg_len)[:-1]))
+    denom = (seg * seg).sum(axis=1)
+    small = denom <= EPS * EPS
+
+    out = np.full(P, np.nan)
+    # chunk points so the (P, S) temporaries stay bounded
+    step = max(1, 2_000_000 // max(S, 1))
+    for lo in range(0, P, step):
+        p = pts[lo: lo + step]                     # (p, 2)
+        ap = p[:, None, :] - a[None, :, :]          # (p, S, 2)
+        t = np.clip((ap * seg).sum(-1) / np.where(small, 1.0, denom), 0.0, 1.0)
+        # float-op order matches point_seg_dist exactly: proj = a + t*ab
+        # first, then p - proj (NOT algebraically-equal (p-a) - t*ab)
+        proj_x = a[:, 0] + t * seg[:, 0]
+        proj_y = a[:, 1] + t * seg[:, 1]
+        d = np.hypot(p[:, None, 0] - proj_x, p[:, None, 1] - proj_y)
+        if small.any():
+            d = np.where(small, np.hypot(ap[..., 0], ap[..., 1]), d)
+        # param uses the scalar's own divisor (seg_len**2, NOT denom);
+        # guard on the squared value — subnormal lengths underflow to 0
+        d2 = seg_len * seg_len
+        tp = np.clip(
+            (ap * seg).sum(-1) / np.where(d2 > 0, d2, 1.0),
+            0.0, 1.0,
+        )
+        tp = np.where(d2 > 0, tp, 0.0)
+        params = acc + tp * seg_len                 # (p, S)
+        dmin = d.min(axis=1)
+        last_idx = (S - 1) - np.argmin(d[:, ::-1], axis=1)
+        hit = dmin <= eps
+        res = params[np.arange(len(p)), last_idx]
+        out[lo: lo + step] = np.where(hit, res, np.nan)
+    return out
 
 
 def split_line(coords: np.ndarray, points: list[np.ndarray], eps: float = 1e-7):
@@ -297,10 +362,17 @@ def split_line(coords: np.ndarray, points: list[np.ndarray], eps: float = 1e-7):
     """
     total = length(coords)
     cuts = []  # (arc_param, original_point)
-    for p in points:
-        s = locate_point(coords, p, eps)
-        if s is not None and eps < s < total - eps:
-            cuts.append((s, p))
+    if len(points) > 4:
+        # vectorized twin of the scalar loop (bit-identical params)
+        params = locate_points(coords, np.asarray(points, dtype=float), eps)
+        for s, p in zip(params, points):
+            if not np.isnan(s) and eps < s < total - eps:
+                cuts.append((float(s), p))
+    else:
+        for p in points:
+            s = locate_point(coords, p, eps)
+            if s is not None and eps < s < total - eps:
+                cuts.append((s, p))
     if not cuts:
         return [coords.copy()]
     # dedup by param

@@ -35,10 +35,14 @@ def assign_ids(
 ) -> DataFrame:
     """Add ``id_col`` = deterministic 1-based rank of ``order_cols``."""
     cols = [F.col(c) for c in order_cols]
-    if num_partitions:
-        parted = df.repartitionByRange(num_partitions, *cols)
-    else:
-        parted = df.repartitionByRange(*cols)
+    if not num_partitions:
+        # explicit width: without it AQE coalesces the range exchange by
+        # BYTES, and the per-partition sort + id pass lands on 1-2 tasks
+        # for slim-row tables regardless of core count
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    parted = df.repartitionByRange(num_partitions, *cols)
     parted = parted.sortWithinPartitions(*cols)
     parted = parted.withColumn("__pid", F.spark_partition_id())
     parted.persist()

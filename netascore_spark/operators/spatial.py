@@ -732,24 +732,41 @@ def salt_cells(
 
 
 def hilbert_key_expr(cell: Column) -> Column:
-    """grid.hilbert_key as a native Column (whole-stage-codegen; 21 unrolled
-    rounds of the xy->d bit transform).  ``df.repartitionByRange(n,
+    """grid.hilbert_key as a native Column.  ``df.repartitionByRange(n,
     hilbert_key_expr(F.col("cell")))`` gives locality-preserving range
     partitions: each partition is a compact spatial blob, so hot urban
-    tiles co-locate with their neighbours instead of striping."""
+    tiles co-locate with their neighbours instead of striping.
+
+    Implemented as ONE ``F.aggregate`` fold over the 21 bit levels — not 21
+    unrolled rounds.  Unrolling references each round's x/y several times,
+    so the Catalyst tree grows ~4x per round (~4^21 nodes at execution:
+    measured java.lang.OutOfMemoryError on a 16 GB driver).  The
+    higher-order-function form keeps the tree O(one round) and stays
+    entirely JVM-side; all arithmetic is explicit LONG (the unrolled form's
+    ``lit(s)*lit(s)`` was int32 and overflowed for bit levels >= 16).
+    """
     one = F.lit(1).cast("long")
     zero = F.lit(0).cast("long")
-    x = F.shiftright(cell, grid._SHIFT)
-    y = cell.bitwiseAND(F.lit((1 << grid._SHIFT) - 1))
-    d = zero
-    s = 1 << (grid._HILBERT_ORDER - 1)
-    while s > 0:
-        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, one).otherwise(zero)
-        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, one).otherwise(zero)
-        d = d + F.lit(s) * F.lit(s) * (rx * F.lit(3)).bitwiseXOR(ry)
-        xr = F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)
-        yr = F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)
-        swap = ry == 0
-        x, y = F.when(swap, yr).otherwise(x), F.when(swap, xr).otherwise(y)
-        s >>= 1
-    return d
+    x0 = F.shiftright(cell, grid._SHIFT)
+    y0 = cell.bitwiseAND(F.lit((1 << grid._SHIFT) - 1))
+    init = F.struct(x0.alias("x"), y0.alias("y"), zero.alias("d"))
+
+    def step(acc: Column, s: Column) -> Column:
+        x, y, d = acc["x"], acc["y"], acc["d"]
+        rx = F.when(x.bitwiseAND(s) > 0, one).otherwise(zero)
+        ry = F.when(y.bitwiseAND(s) > 0, one).otherwise(zero)
+        d2 = d + s * s * (rx * F.lit(3).cast("long")).bitwiseXOR(ry)
+        xr = F.when(rx == one, s - one - x).otherwise(x)
+        yr = F.when(rx == one, s - one - y).otherwise(y)
+        swap = ry == zero
+        nx = F.when(swap, yr).otherwise(x)
+        ny = F.when(swap, xr).otherwise(y)
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    levels = F.array(
+        *[
+            F.lit(1 << b).cast("long")
+            for b in range(grid._HILBERT_ORDER - 1, -1, -1)
+        ]
+    )
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])

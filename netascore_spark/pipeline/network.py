@@ -100,8 +100,19 @@ def _intersection_points(a: pd.Series, b: pd.Series) -> pd.Series:
     fall back to the exact general kernel.
     """
     n = len(a)
-    ca = [wkb.decode(bytes(g))[1] for g in a]
-    cb = [wkb.decode(bytes(g))[1] for g in b]
+    # memoize decodes within the batch: each way appears in ~(its number of
+    # crossing partners) pairs, so the same WKB bytes recur heavily
+    memo: dict = {}
+
+    def dec(g):
+        b = bytes(g)
+        c = memo.get(b)
+        if c is None:
+            c = memo[b] = wkb.decode(b)[1]
+        return c
+
+    ca = [dec(g) for g in a]
+    cb = [dec(g) for g in b]
     out: list = [None] * n
     simple = [i for i in range(n) if len(ca[i]) == 2 and len(cb[i]) == 2]
     other = [i for i in range(n) if len(ca[i]) != 2 or len(cb[i]) != 2]
@@ -153,10 +164,21 @@ def intersections(lp: DataFrame, cell_size: float) -> DataFrame:
     lc = cache.track(
         spatial.with_cells(lp.select(*attrs, "geom"), "geom", cell_size).persist()
     )
-    a = lc.select(
+    # pin the self-join width: the cover is slim in BYTES (AQE's coalescing
+    # cost model) but the join fans out ~6x per cell and every output row
+    # carries two WKB geoms into CPU-heavy filters — byte-based coalescing
+    # runs all of it in 1-2 tasks (measured: 64 s single-task at 400k edges).
+    # Same disease/pin as the kNN fan-out join in pipeline/pages.py.
+    n_part = int(lp.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # materialize the cover ONCE before the self-join: its two exchange
+    # sides (and the split join's re-read of init) otherwise race to fill
+    # the cache inside one job and each recompute the python cover UDF
+    lc.count()
+    lc_rep = lc.repartition(n_part, F.col("cell"))
+    a = lc_rep.select(
         F.col("cell"), *[F.col(c).alias(f"{c}_1") for c in attrs], F.col("geom").alias("geom_1")
     )
-    b = lc.select(
+    b = lc_rep.select(
         F.col("cell"), *[F.col(c).alias(f"{c}_2") for c in attrs], F.col("geom").alias("geom_2")
     )
     pairs = (
@@ -175,7 +197,12 @@ def intersections(lp: DataFrame, cell_size: float) -> DataFrame:
                     & (F.col(f"y{s1}_1") == F.col(f"y{s2}_2"))
                 )
             )
-    pairs = pairs.dropDuplicates(["osm_id_1", "osm_id_2"])
+    # explicit width for the dedup's final aggregate as well: the partial
+    # agg's output is still a few hundred thousand wide rows (two WKBs
+    # each), and the sub-advisory shuffle otherwise lands on ONE task
+    pairs = pairs.repartition(n_part, "osm_id_1", "osm_id_2").dropDuplicates(
+        ["osm_id_1", "osm_id_2"]
+    )
     # spread: exact line-x-line intersection is python CPU; byte-based AQE
     # coalescing would run it on 1-2 tasks (see operators.spatial.spread)
     pts = spatial.spread(pairs).withColumn(
@@ -198,6 +225,11 @@ def dedup_intersections(inter: DataFrame) -> DataFrame:
     ]
     key = [F.round(F.col("px"), 7), F.round(F.col("py"), 7)]
     w = Window.partitionBy(*key).orderBy(*order_cols)
+    # pin the window exchange width (wide rows, tiny bytes — see
+    # intersections(); the explicit repartition satisfies the window's
+    # clustered-distribution requirement so no second shuffle is added)
+    n_part = int(inter.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    inter = inter.repartition(n_part, *key)
     return (
         inter.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -274,14 +306,50 @@ def split_targets(inter: DataFrame) -> DataFrame:
     pts = (
         inter.select(F.col("osm_id_1").alias("osm_id"), "px", "py")
         .unionByName(inter.select(F.col("osm_id_2").alias("osm_id"), "px", "py"))
+        # pin the distinct's final-aggregate width (see intersections())
+        .repartition(
+            int(inter.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "osm_id", "px", "py",
+        )
         .distinct()  # UNION dedup semantics (osm_network.sql.j2:215-221)
     )
-    return pts.groupBy("osm_id").agg(
-        F.collect_list(F.struct("px", "py")).alias("split_points")
+    # repartition by osm_id ahead of the groupBy: collect_list's merge work
+    # is O(|points|), not O(|groups|) — the sub-advisory exchange otherwise
+    # merges every split point in one task
+    return (
+        pts.repartition(
+            int(inter.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "osm_id",
+        )
+        .groupBy("osm_id")
+        .agg(F.collect_list(F.struct("px", "py")).alias("split_points"))
     )
 
 
-_SPLIT_TYPE = T.ArrayType(T.BinaryType())
+_SPLIT_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("geom", T.BinaryType()),
+            T.StructField("gx0", T.DoubleType()),
+            T.StructField("gy0", T.DoubleType()),
+            T.StructField("gx1", T.DoubleType()),
+            T.StructField("gy1", T.DoubleType()),
+            T.StructField("glen", T.DoubleType()),
+        ]
+    )
+)
+
+
+def _piece_row(geom_bytes: bytes, coords: np.ndarray) -> tuple:
+    """(wkb, x0, y0, x1, y1, length) — ONE decode serves endpoints and
+    length too, so finalize/fixpoint need no further python passes over the
+    edge table (each was a full WKB-decode stage of its own)."""
+    return (
+        geom_bytes,
+        float(coords[0, 0]), float(coords[0, 1]),
+        float(coords[-1, 0]), float(coords[-1, 1]),
+        float(ops.length(coords)),
+    )
 
 
 @F.pandas_udf(_SPLIT_TYPE)
@@ -290,14 +358,15 @@ def _split_pieces(geom: pd.Series, points: pd.Series) -> pd.Series:
     for g, pts in zip(geom, points):
         if pts is None or len(pts) == 0:
             # untouched edge: pass the original bytes through UNCHANGED (no
-            # decode/encode round-trip — byte identity is load-bearing for
-            # the UNION-dedup and golden hashes)
-            out.append([bytes(g)])
+            # encode round-trip — byte identity is load-bearing for the
+            # UNION-dedup and golden hashes); decode only for ends/length
+            b = bytes(g)
+            out.append([_piece_row(b, wkb.decode(b)[1])])
             continue
         coords = wkb.decode(bytes(g))[1]
         cut_pts = [np.array([p["px"], p["py"]]) for p in pts]
         pieces = ops.split_line(coords, cut_pts)
-        out.append([wkb.encode(("LineString", p)) for p in pieces])
+        out.append([_piece_row(wkb.encode(("LineString", p)), p) for p in pieces])
     return pd.Series(out)
 
 
@@ -314,12 +383,23 @@ def split_edges(net_init: DataFrame, targets: DataFrame) -> DataFrame:
         "pieces", _split_pieces(F.col("geom"), F.col("split_points"))
     ).drop("geom", "split_points")
     split = (
-        split.select("*", F.posexplode("pieces").alias("seg_seq", "geom"))
+        split.select("*", F.posexplode("pieces").alias("seg_seq", "p"))
         .drop("pieces")
     )
-    out = split.select(*passthrough, "seg_seq", "geom")
-    # UNION (dedup) semantics of osm_network.sql.j2:241
-    return out.dropDuplicates(["osm_id", "seg_seq", "geom"])
+    out = split.select(
+        *passthrough, "seg_seq",
+        F.col("p.geom").alias("geom"),
+        F.col("p.gx0").alias("gx0"), F.col("p.gy0").alias("gy0"),
+        F.col("p.gx1").alias("gx1"), F.col("p.gy1").alias("gy1"),
+        F.col("p.glen").alias("glen"),
+    )
+    # UNION (dedup) semantics of osm_network.sql.j2:241; width pinned (the
+    # post-split rows are sub-advisory in bytes but number |edges| — the
+    # coalesced single-task final agg measured 25 s at 400k edges)
+    n_part = int(net_init.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return out.repartition(n_part, "osm_id", "seg_seq", "geom").dropDuplicates(
+        ["osm_id", "seg_seq", "geom"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -355,14 +435,25 @@ def drop_dangling_indoor(corrected: DataFrame, cell_size: float = 200.0) -> Data
     # (native point_segment_dist_expr, bit-identical to
     # ops.point_line_dist) so only true on-edge endpoints reach the driver
     # — no O(|pts| x |indoor|) python scan.
-    all_pts = corrected.select(
-        "osm_id", "seg_seq", spatial.endpoints_udf()(F.col("geom")).alias("e")
-    ).select(
+    # endpoint coords were emitted by the split UDF (gx0..gy1) — no python
+    # decode pass over the full edge table here.  Standalone callers passing
+    # a raw (osm_id, seg_seq, geom) table fall back to the endpoint UDF.
+    if "gx0" in corrected.columns:
+        with_ends = corrected.select(
+            "osm_id", "seg_seq",
+            F.col("gx0").alias("x0"), F.col("gy0").alias("y0"),
+            F.col("gx1").alias("x1"), F.col("gy1").alias("y1"),
+        )
+    else:
+        with_ends = corrected.select(
+            "osm_id", "seg_seq", spatial.endpoints_udf()(F.col("geom")).alias("e")
+        ).select("osm_id", "seg_seq", "e.x0", "e.y0", "e.x1", "e.y1")
+    all_pts = with_ends.select(
         "osm_id", "seg_seq",
         F.posexplode(
             F.array(
-                F.struct(F.col("e.x0").alias("px"), F.col("e.y0").alias("py")),
-                F.struct(F.col("e.x1").alias("px"), F.col("e.y1").alias("py")),
+                F.struct(F.col("x0").alias("px"), F.col("y0").alias("py")),
+                F.struct(F.col("x1").alias("px"), F.col("y1").alias("py")),
             )
         ).alias("ei", "p"),
     ).select("osm_id", "seg_seq", "ei", "p.px", "p.py")
@@ -459,22 +550,27 @@ def finalize_network(
     )
     edges = assign(corrected, ["osm_id", "seg_seq"], "edge_id")
 
-    ends = spatial.endpoints_udf()(F.col("geom"))
-    edges = edges.withColumn("__e", ends).select(
+    # endpoints come from the split UDF's columns (gx0..gy1): zero python
+    # here — the node key is a native round over already-materialized doubles
+    edges = edges.select(
         "*",
-        F.round(F.col("__e.x0"), NODE_DECIMALS).alias("fx"),
-        F.round(F.col("__e.y0"), NODE_DECIMALS).alias("fy"),
-        F.round(F.col("__e.x1"), NODE_DECIMALS).alias("tx"),
-        F.round(F.col("__e.y1"), NODE_DECIMALS).alias("ty"),
-    ).drop("__e")
+        F.round(F.col("gx0"), NODE_DECIMALS).alias("fx"),
+        F.round(F.col("gy0"), NODE_DECIMALS).alias("fy"),
+        F.round(F.col("gx1"), NODE_DECIMALS).alias("tx"),
+        F.round(F.col("gy1"), NODE_DECIMALS).alias("ty"),
+    )
     # persist: the node-dedup, the node id sampling and the final from/to
-    # joins each scan this — without a cache the endpoint UDF (WKB decode
-    # over every edge) re-runs 3-4x
+    # joins each scan this
     edges = cache.track(edges.persist())
 
     nodes = (
         edges.select(F.col("fx").alias("x"), F.col("fy").alias("y"))
         .unionByName(edges.select(F.col("tx").alias("x"), F.col("ty").alias("y")))
+        # pin the distinct width: 2x|edges| slim rows, sub-advisory bytes
+        .repartition(
+            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "x", "y",
+        )
         .distinct()
     )
     nodes = assign(nodes, ["x", "y"], "node_id")
@@ -485,11 +581,16 @@ def finalize_network(
     to_n = nodes.select(
         F.col("node_id").alias("to_node"), F.col("x").alias("tx"), F.col("y").alias("ty")
     )
-    edges = (
-        edges.join(from_n, ["fx", "fy"])
-        .join(to_n, ["tx", "ty"])
-        .withColumn("length", spatial.geom_length_udf()(F.col("geom")))
-        .drop("fx", "fy", "tx", "ty")
+    joined = edges.join(from_n, ["fx", "fy"]).join(to_n, ["tx", "ty"])
+    # length was computed by the split UDF in the same decode pass; keep the
+    # historical column order (…, edge_id, from_node, to_node, length)
+    keep = [
+        c for c in joined.columns
+        if c not in ("fx", "fy", "tx", "ty", "gx0", "gy0", "gx1", "gy1",
+                     "glen", "edge_id", "from_node", "to_node")
+    ]
+    edges = joined.select(
+        *keep, "edge_id", "from_node", "to_node", F.col("glen").alias("length")
     )
     return edges, nodes
 
@@ -511,7 +612,11 @@ def build_network(
     (the 100 TB path) above ``SCALABLE_IDS_THRESHOLD`` rows, a single
     window below it (cheaper for fixture-sized inputs; ids identical).
     """
-    init = network_init(osm_line, include_rail, include_aerialway)
+    # persist init: the cover build, the split join, and (for driver-local
+    # fixture inputs) every exchange that re-reads the source would each
+    # re-scan/re-serialize it otherwise — measured as 4-5 repeated full
+    # scans inside the first job
+    init = cache.track(network_init(osm_line, include_rail, include_aerialway).persist())
     lp = link_points(init)
     inter = apply_correction_deletes(dedup_intersections(intersections(lp, cell_size)))
     targets = split_targets(inter)

@@ -18,6 +18,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    """Scratch dir for shuffle files / spill / checkpoint blocks.
+
+    Spark's local dir must sit on the FASTEST storage available — on a real
+    cluster that's the executors' local NVMe (``spark.local.dir`` per node).
+    In this single-box environment the root block device can be severely
+    write-throttled (measured as low as ~20 MB/s), which serializes every
+    shuffle write; with 128 GiB of RAM, a tmpfs-backed local dir is the
+    faithful stand-in for cluster-grade scratch disks.  Override with
+    ``SPARK_GRAFT_LOCAL_DIR``.
+    """
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "spark-scratch")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return "/tmp"
+
+
 def build_session(
     app_name: str = "netascore_spark",
     master: str | None = None,
@@ -64,6 +86,7 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", exec_pythonpath)

@@ -272,3 +272,44 @@ def test_hilbert_expr_matches_numpy(spark):
         .toPandas()["k"].to_numpy()
     )
     assert (got == grid.hilbert_key(cells)).all()
+
+
+def test_locate_points_subnormal_segment():
+    """Hypothesis 2026-08-17 counterexample: a segment of SUBNORMAL length
+    squares to exactly 0.0 (underflow), so the param division was 0/0=nan in
+    both scalar and vectorized paths.  Both must guard on the squared
+    divisor and agree on a finite param."""
+    coords = np.array([(0.0, 0.0), (0.0, 2.225073858507203e-309), (0.0, 1.0)])
+    p = np.array([0.0, 0.0])
+    s = ops.locate_point(coords, p)
+    vec = ops.locate_points(coords, np.array([p]))
+    assert s is not None and np.isfinite(s)
+    assert float(vec[0]) == float(s)
+
+
+@given(
+    st.lists(st.tuples(coord, coord), min_size=2, max_size=8),
+    st.lists(st.tuples(coord, coord), min_size=1, max_size=24),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_locate_points_matches_scalar(pts, probes, rnd):
+    """locate_points (vectorized, used by split_line above 4 cuts) must be
+    BIT-identical to the scalar locate_point for every probe — on-line
+    probes included (mix in exact interpolations along the line)."""
+    coords = np.array(pts, dtype=float)
+    if ops.length(coords) == 0.0:
+        return
+    probe_arr = [np.array(p, dtype=float) for p in probes]
+    # exact on-segment probes exercise the accept path
+    for i in range(len(coords) - 1):
+        t = rnd.random()
+        probe_arr.append(coords[i] + t * (coords[i + 1] - coords[i]))
+    P = np.asarray(probe_arr)
+    vec = ops.locate_points(coords, P)
+    for k, p in enumerate(probe_arr):
+        s = ops.locate_point(coords, p)
+        if s is None:
+            assert np.isnan(vec[k])
+        else:
+            assert float(vec[k]) == float(s)
