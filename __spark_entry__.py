@@ -876,6 +876,67 @@ FROM h
 """
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-style pre-tokenization (GPT-2 pattern shape, lookahead-free):
+    token count + md5 over the exact token sequence, so the oracle pins the
+    full segmentation, not just the count."""
+    from netascore_spark.operators import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TS.bpe_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.md5(F.array_join(toks, "\x1f")).alias("tokens_digest"),
+    )
+
+
+_BPE_ORACLE = r"""
+SELECT doc_id,
+    len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+|\s+')) AS n_bpe_tokens,
+    md5(array_to_string(
+        regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+|\s+'),
+        chr(31))) AS tokens_digest
+FROM documents
+"""
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer+ SIGMOD'03), k=8 w=4, exploded to
+    (doc_id, fp) rows — the DuckDB oracle recomputes the identical k-gram
+    hash (md5[:8] little-endian mod 2^61-1) and window minima."""
+    from netascore_spark.operators import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(TS.winnow_fingerprints(F.col("text"), k=8, w=4)).alias("fp"),
+    )
+
+
+_WINNOW_ORACLE = """
+WITH g AS (
+  SELECT doc_id, text, length(text) - 8 + 1 AS ng FROM documents
+), h AS (
+  SELECT doc_id, ng,
+    list_transform(range(1, ng + 1), i ->
+      ((('0x' || substr(md5(substr(text,i,8)),15,2) || substr(md5(substr(text,i,8)),13,2)
+        || substr(md5(substr(text,i,8)),11,2) || substr(md5(substr(text,i,8)),9,2)
+        || substr(md5(substr(text,i,8)),7,2)  || substr(md5(substr(text,i,8)),5,2)
+        || substr(md5(substr(text,i,8)),3,2)  || substr(md5(substr(text,i,8)),1,2))::UBIGINT::HUGEINT)
+       % 2305843009213693951::HUGEINT)::BIGINT) AS hs
+  FROM g WHERE ng >= 1
+), sel AS (
+  SELECT doc_id,
+    CASE WHEN ng < 4 THEN [list_min(hs)]
+    ELSE list_sort(list_distinct(list_transform(range(1, ng - 4 + 2),
+                                                j -> list_min(hs[j: j + 3])))) END AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fp FROM sel
+"""
+
+
 def q_ngram_dedup(spark, sf_dir):
     from netascore_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1764,6 +1825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "bpe_tokens": q_bpe_tokens,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "ngram_dedup": q_ngram_dedup,
         "cosine_topk": q_cosine_topk,
         "sphere_tiling": q_sphere_tiling,
@@ -1819,6 +1882,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
         "lang_id": _lang_oracle(),
+        "bpe_tokens": _BPE_ORACLE,
+        "winnow_fingerprint": _WINNOW_ORACLE,
         "ngram_dedup": _NGRAM_ORACLE,
         "cosine_topk": _COSINE_ORACLE,
         "sphere_tiling": _sphere_oracle(),

@@ -66,6 +66,94 @@ def fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+# ---------------------------------------------------------------------------
+# BPE-ish tokenization (GPT-2-style pre-tokenizer shape, lookahead-free so
+# the SAME pattern runs under Java regex (Spark) and RE2 (DuckDB oracle))
+# ---------------------------------------------------------------------------
+
+BPE_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+|\s+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-style pre-tokens: letter runs / digit runs / punctuation runs,
+    each optionally taking one leading space (the GPT-2 pre-tokenizer
+    shape, minus its RE2-incompatible ``(?!\\S)`` lookahead)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03:
+# "Winnowing: Local Algorithms for Document Fingerprinting")
+# ---------------------------------------------------------------------------
+
+_WINNOW_P = (1 << 61) - 1  # same modulus as the MinHash permutation space
+
+
+def _hex_le61(h: Column) -> Column:
+    """First 8 bytes of an md5 HEX STRING, little-endian, mod 2^61-1 — the
+    exact k-gram hash the MinHash oracle already renders in DuckDB SQL
+    (`'0x'||reversed hex -> UBIGINT`).  Spark-side: conv(reversed hex, 16,
+    10) is unsigned 64-bit, carried through DECIMAL(20,0) so the mod never
+    overflows."""
+    rev = F.concat(
+        F.substring(h, 15, 2), F.substring(h, 13, 2),
+        F.substring(h, 11, 2), F.substring(h, 9, 2),
+        F.substring(h, 7, 2), F.substring(h, 5, 2),
+        F.substring(h, 3, 2), F.substring(h, 1, 2),
+    )
+    return (
+        F.conv(rev, 16, 10).cast("decimal(20,0)") % F.lit(_WINNOW_P)
+    ).cast("long")
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprint set: hash every character k-gram, slide a
+    w-window over the hash sequence, keep each window's minimum, dedup.
+
+    Guarantees (the paper's): any shared substring of length >= k + w - 1
+    between two documents yields at least one shared fingerprint.  Whole
+    pipeline is native Columns (one pass, whole-stage codegen) — at 100 TB
+    this is a map-only stage, no shuffle.  Docs shorter than k fingerprint
+    to an empty set; docs with fewer than w k-grams keep the global min.
+    """
+    ng = F.length(text) - F.lit(k - 1)
+    ng_c = F.greatest(ng, F.lit(1))  # keep sequence() ascending on short docs
+    # two-stage transform: materialize ONE md5 hex string per k-gram, then
+    # fold it to the 61-bit value — inlining _hex_le61(md5(...)) directly
+    # would leave 8 copies of md5(substr(...)) in the tree (one per hex
+    # byte-pair), and codegen does not CSE across them
+    md5s = F.transform(
+        F.sequence(F.lit(1), ng_c), lambda i: F.md5(text.substr(i, F.lit(k)))
+    )
+    hs = F.transform(md5s, _hex_le61)
+
+    # CRITICAL: bind hs as a LAMBDA VARIABLE before windowing.  Referencing
+    # the hs expression inside the window transform would INLINE it, and
+    # nested higher-order functions re-evaluate the inlined array per outer
+    # element — O(g) md5 passes instead of one (measured 400x slower).  A
+    # single-element array + transform materializes hs exactly once per row
+    # and hands the windows a bound variable.
+    def _windows(hsv: Column) -> Column:
+        few = F.array(F.array_min(hsv))
+        full = F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(ng - F.lit(w - 1), F.lit(1))),
+                    lambda j: F.array_min(F.slice(hsv, j, w)),
+                )
+            )
+        )
+        return F.when(ng < w, few).otherwise(full)
+
+    return F.when(ng < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(F.array(hs), _windows)[0]
+    )
+
+
 def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (

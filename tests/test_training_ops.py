@@ -75,6 +75,60 @@ def test_text_stats(spark, docs):
     assert 0.0 <= out[1]["quality"] <= 1.0
 
 
+def _ref_winnow(text: str, k: int = 8, w: int = 4) -> list[int]:
+    import hashlib
+
+    P = (1 << 61) - 1
+    g = len(text) - k + 1
+    if g < 1:
+        return []
+    hs = [
+        int.from_bytes(hashlib.md5(text[i: i + k].encode()).digest()[:8], "little") % P
+        for i in range(g)
+    ]
+    if g < w:
+        return [min(hs)]
+    return sorted({min(hs[j: j + w]) for j in range(g - w + 1)})
+
+
+def test_winnow_fingerprints(spark, docs):
+    out = {
+        r["doc_id"]: sorted(r["fps"])
+        for r in docs.select(
+            "doc_id", textstats.winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, t in texts.items():
+        assert out[did] == _ref_winnow(t), did
+    # winnowing guarantee: docs sharing a >= k+w-1 substring share a print
+    assert set(out[1]) & set(out[3])
+    assert out[1] == out[2]           # identical docs -> identical sets
+    assert out[7] == []               # empty doc -> empty set
+
+
+def test_bpe_tokens(spark, docs):
+    rows = {
+        r["doc_id"]: r["toks"]
+        for r in docs.select(
+            "doc_id", textstats.bpe_tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    assert rows[1][:4] == ["the", " quick", " brown", " fox"]
+    assert rows[7] == []
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", textstats.bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got[1] == len(rows[1])
+    # punctuation/digit runs split off (GPT-2 pre-tokenizer shape)
+    one = spark.createDataFrame([("Hello, world 42!",)], ["text"])
+    toks = one.select(textstats.bpe_tokens(F.col("text")).alias("t")).first()["t"]
+    assert toks == ["Hello", ",", " world", " 42", "!"]
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(7)
