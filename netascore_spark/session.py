@@ -21,22 +21,20 @@ from pyspark.sql import SparkSession
 def _local_dir() -> str:
     """Scratch dir for shuffle files / spill / checkpoint blocks.
 
-    Spark's local dir must sit on the FASTEST storage available — on a real
-    cluster that's the executors' local NVMe (``spark.local.dir`` per node).
-    In this single-box environment the root block device can be severely
-    write-throttled (measured as low as ~20 MB/s), which serializes every
-    shuffle write; with 128 GiB of RAM, a tmpfs-backed local dir is the
-    faithful stand-in for cluster-grade scratch disks.  Override with
-    ``SPARK_GRAFT_LOCAL_DIR``.
+    Default is DISK (/tmp): on this host, RAM is the scarce resource — the
+    hypervisor overcommits it, and first-touch page faults intermittently
+    crawl at 0.01-0.08 GB/s (measured on an idle box; nominal is >1 GB/s).
+    A tmpfs scratch dir pins exactly the kind of fresh pages that trigger
+    that reclaim, so shuffle-on-tmpfs makes the whole job hostage to host
+    memory pressure; disk page cache is reclaimable.  Set
+    ``SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-scratch`` only when the block
+    device itself is the throttled resource (also observed on this host,
+    as low as ~20 MB/s writes).
     """
     override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if override:
+        os.makedirs(override, exist_ok=True)
         return override
-    shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        d = os.path.join(shm, "spark-scratch")
-        os.makedirs(d, exist_ok=True)
-        return d
     return "/tmp"
 
 
@@ -91,6 +89,23 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", exec_pythonpath)
     )
+    # Python-worker allocators must RETAIN freed memory: Arrow batches and
+    # numpy temporaries are multi-MB blocks that glibc would otherwise
+    # mmap/munmap per batch, so every batch re-faults fresh pages — on a
+    # memory-overcommitted host those faults stall 30-100x (measured), and
+    # the python-heavy stages degrade while pure-JVM stages stay nominal.
+    # Raising the mmap/trim thresholds keeps the blocks in the arena
+    # (faulted once, reused forever); the "system" Arrow pool routes Arrow
+    # allocations through that same retained arena instead of jemalloc's
+    # aggressively-returned pages.  Real clusters set exactly these knobs
+    # on memory-dense executor nodes.
+    for env_k, env_v in (
+        ("MALLOC_MMAP_THRESHOLD_", "268435456"),
+        ("MALLOC_TRIM_THRESHOLD_", "268435456"),
+        ("ARROW_DEFAULT_MEMORY_POOL", "system"),
+    ):
+        b = b.config(f"spark.executorEnv.{env_k}", env_v)
+        os.environ.setdefault(env_k, env_v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -1,12 +1,14 @@
 """Canary-gated scaling legs (north rule: N -> 4N >= 0.8).
 
 The sandbox host oscillates between nominal and ~14x-degraded CPU on a
-~tens-of-minutes timescale (measured 1.4 s vs 19.8 s for the same
-single-core python loop within one hour).  Any leg that overlaps a
-degraded window is useless for the N->4N ratio, so each leg is bracketed
-by a canary: a fixed single-core python loop.  A leg only counts when the
-canary is nominal BOTH before and after it; otherwise it is retried
-(waiting out the degraded window).
+~tens-of-minutes timescale (measured 1.4 s vs 19.8-21.7 s for the same
+single-core python loop within one hour), and degraded windows can START
+and END *inside* a bench leg — end-bracket canaries accepted a leg whose
+python-heavy middle stages ran 2-6x slow while its JVM-only tail stages
+matched nominal runs exactly.  So the canary runs CONTINUOUSLY in a
+sampler thread during the leg (one core out of 32 for ~1.5 s every 20 s —
+noise, not load) and the leg is accepted only when the WORST sample seen
+while it ran is nominal.
 
 Usage: python tools/scaling_gated.py [legs...]   e.g. "2 8 32"
 Writes BENCH_local{N}.json per accepted leg (same shape as tools/scaling.py).
@@ -18,12 +20,14 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NOMINAL_S = 2.6          # accept canary below this (nominal ~1.4-1.6 s)
-MAX_TRIES = 6
-WAIT_DEGRADED = 300      # seconds to sit out a degraded window
+SAMPLE_EVERY = 20.0      # seconds between in-flight canary samples
+MAX_TRIES = 8
+WAIT_DEGRADED = 240      # seconds to sit out a degraded window
 
 
 def canary() -> float:
@@ -33,6 +37,26 @@ def canary() -> float:
         check=True,
     )
     return time.time() - t0
+
+
+class Sampler:
+    def __init__(self) -> None:
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            self.samples.append(canary())
+            self._stop.wait(SAMPLE_EVERY)
+
+    def __enter__(self) -> "Sampler":
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._t.join()
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
@@ -61,18 +85,20 @@ def leg(cpus: int, sf_dir: str) -> dict | None:
             time.sleep(WAIT_DEGRADED)
             continue
         t0 = time.time()
-        r = run_bench(cpus, sf_dir)
+        with Sampler() as s:
+            r = run_bench(cpus, sf_dir)
         wall = time.time() - t0
-        c1 = canary()
+        worst = max(s.samples) if s.samples else float("nan")
         print(f"[leg {cpus}] run {r['value']}s (wall {wall:.0f}s) "
-              f"canary {c0:.2f}/{c1:.2f}s", file=sys.stderr, flush=True)
-        if c1 <= NOMINAL_S:
-            r["canary_before_s"] = round(c0, 2)
-            r["canary_after_s"] = round(c1, 2)
+              f"canary worst {worst:.2f}s over {len(s.samples)} samples",
+              file=sys.stderr, flush=True)
+        if worst <= NOMINAL_S:
+            r["canary_worst_s"] = round(worst, 2)
+            r["canary_samples"] = len(s.samples)
             with open(os.path.join(REPO, f"BENCH_local{cpus}.json"), "w") as fh:
                 json.dump(r, fh, indent=1)
             return r
-        print(f"[leg {cpus}] post-canary degraded ({c1:.2f}s) — leg discarded",
+        print(f"[leg {cpus}] in-flight degradation — leg discarded",
               file=sys.stderr, flush=True)
     print(f"[leg {cpus}] gave up after {MAX_TRIES} attempts", file=sys.stderr)
     return None
