@@ -620,12 +620,26 @@ def build_network(
     lp = link_points(init)
     inter = apply_correction_deletes(dedup_intersections(intersections(lp, cell_size)))
     targets = split_targets(inter)
-    # persist: the indoor fixpoint and the id/node stages each launch jobs
-    # over the split result — don't recompute the O(n^2) intersection work
-    corrected = cache.track(split_edges(init, targets).persist())
+    # EAGER LINEAGE CUT, not a persist: everything downstream — the indoor
+    # fixpoint's two collects, two range-sampling jobs, two partition-count
+    # collects, the node dedup, and any caller-side checkpoint — launches
+    # sequential jobs over this result, and with a plain persist() each of
+    # those ~8 job launches re-ANALYZES the whole deep split/correction
+    # tree on the driver first (cache substitution happens after analysis).
+    # That per-job serial planning cost is independent of core count and
+    # was the dominant term in the network stage's N->4N scaling deficit
+    # (~52 s fixed at scale 56).  localCheckpoint materializes the split
+    # once and replaces the plan with a flat RDD scan, so every downstream
+    # job plans in O(columns).  Storage is executor-local (unreliable): in
+    # local mode that is free; on a real cluster an executor loss forces a
+    # stage retry from the checkpoint's parent — set spark.checkpoint.dir
+    # and swap in reliable .checkpoint() if that trade is wrong for you.
+    corrected = split_edges(init, targets).localCheckpoint()
+    # the split is materialized now — the source/init cache is dead weight
+    # for the rest of this builder (finalize works off `corrected` only)
+    init.unpersist()
     if scalable_ids is None:
-        # one full count: materializes the persist in a single job (the
-        # fixpoint's collect and the id stages all reuse the cache)
+        # cheap: counts the checkpointed partitions, no recompute
         scalable_ids = corrected.count() > SCALABLE_IDS_THRESHOLD
     corrected = drop_dangling_indoor(corrected, cell_size)
     return finalize_network(corrected, scalable_ids)
