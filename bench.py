@@ -63,11 +63,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    # absolute [start, end] per query: lets a canary-gating harness blame a
+    # degraded-host window on exactly the queries it overlapped (the host
+    # this runs on oscillates between nominal and ~14x-degraded CPU; see
+    # tools/scaling_gated2.py)
+    windows: dict[str, list[float]] = {}
 
     def timed(name, fn):
         t0 = time.time()
         out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        t1 = time.time()
+        timings[name] = round(t1 - t0, 3)
+        windows[name] = [round(t0, 2), round(t1, 2)]
         return out
 
     # --- fixture parquet cache --------------------------------------------
@@ -189,8 +196,11 @@ def main() -> None:
         for _ in range(2):
             t0 = time.time()
             fn(spark, sf_dir).count()
-            runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
+            t1 = time.time()
+            runs.append((t1 - t0, t0, t1))
+        best = min(runs)
+        timings[name] = round(best[0], 3)
+        windows[name] = [round(best[1], 2), round(best[2], 2)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -206,6 +216,7 @@ def main() -> None:
                 "n_edges": n_edges,
                 "pages_per_sec": pages_sec,
                 "edges_per_sec": edges_sec,
+                "windows": windows,
             }
         )
     )
