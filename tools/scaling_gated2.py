@@ -33,7 +33,17 @@ import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-NOMINAL_S = 2.6          # accept canary below this (nominal ~1.4-1.6 s)
+# TRUE-nominal gate: the host has a mild degradation state (canary ~1.9-2.2
+# s) that the old 2.6 s gate accepted but which runs the whole box ~1.4x
+# slow (measured: every untouched small query 1.4-1.5x its clean-window
+# time in a leg whose worst canary was 1.90 s).  Legs 2/8 leave >=24 cores
+# idle, so the canary runs uncontended and 1.75 s separates true nominal
+# (1.4-1.6 s) from the mild state.  At 32 cores the canary CONTENDS with
+# the bench itself, so the strict gate would reject everything — keep the
+# old threshold there (leg 32 is supplementary; the north-rule ratio is
+# 2->8).
+NOMINAL_S = 1.75         # legs below 32 cores
+NOMINAL_S_CONTENDED = 2.6
 SAMPLE_EVERY = 15.0      # seconds between in-flight canary samples
 MAX_TRIES = 10
 WAIT_DEGRADED = 180      # seconds to sit out a degraded window before a try
@@ -51,7 +61,8 @@ def canary() -> float:
 class Sampler:
     """Continuous canary; records (t_start, t_end, duration) per sample."""
 
-    def __init__(self) -> None:
+    def __init__(self, nominal_s: float = NOMINAL_S) -> None:
+        self.nominal_s = nominal_s
         self.samples: list[tuple[float, float, float]] = []
         self._stop = threading.Event()
         self._t = threading.Thread(target=self._run, daemon=True)
@@ -77,7 +88,7 @@ class Sampler:
         out = []
         prev_end = None
         for t0, t1, d in self.samples:
-            if d > NOMINAL_S:
+            if d > self.nominal_s:
                 lo = prev_end if prev_end is not None else t0 - SAMPLE_EVERY
                 out.append((lo, t1))
             prev_end = t1
@@ -102,23 +113,24 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 
 
 def leg(cpus: int, sf_dir: str) -> dict | None:
+    nominal_s = NOMINAL_S if cpus < 32 else NOMINAL_S_CONTENDED
     best: dict[str, float] = {}          # query -> best CLEAN seconds
     meta: dict = {}
     attempts_used = 0
     worst_clean_canary = 0.0
     for attempt in range(1, MAX_TRIES + 1):
         c0 = canary()
-        if c0 > NOMINAL_S:
+        if c0 > nominal_s:
             print(f"[leg {cpus}] canary {c0:.2f}s degraded; waiting "
                   f"{WAIT_DEGRADED}s (attempt {attempt})",
                   file=sys.stderr, flush=True)
             time.sleep(WAIT_DEGRADED)
             continue
         attempts_used += 1
-        with Sampler() as s:
+        with Sampler(nominal_s) as s:
             r = run_bench(cpus, sf_dir)
         bad = s.degraded_intervals()
-        clean_samples = [d for *_, d in s.samples if d <= NOMINAL_S]
+        clean_samples = [d for *_, d in s.samples if d <= nominal_s]
         if clean_samples:
             worst_clean_canary = max(worst_clean_canary, max(clean_samples))
         meta = {k: v for k, v in r.items() if k not in ("queries", "windows")}
@@ -149,6 +161,7 @@ def leg(cpus: int, sf_dir: str) -> dict | None:
                 2,
             )
             out["gate"] = "per-query continuous canary"
+            out["gate_nominal_s"] = nominal_s
             out["gate_attempts"] = attempts_used
             out["canary_worst_clean_s"] = round(worst_clean_canary, 2)
             with open(os.path.join(REPO, f"BENCH_local{cpus}.json"), "w") as fh:
