@@ -115,6 +115,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 def leg(cpus: int, sf_dir: str) -> dict | None:
     nominal_s = NOMINAL_S if cpus < 32 else NOMINAL_S_CONTENDED
     best: dict[str, float] = {}          # query -> best CLEAN seconds
+    best_any: dict[str, float] = {}      # query -> best seconds, any state
     meta: dict = {}
     attempts_used = 0
     worst_clean_canary = 0.0
@@ -136,6 +137,8 @@ def leg(cpus: int, sf_dir: str) -> dict | None:
         meta = {k: v for k, v in r.items() if k not in ("queries", "windows")}
         n_clean = 0
         for q, (t0, t1) in r.get("windows", {}).items():
+            if q not in best_any or r["queries"][q] < best_any[q]:
+                best_any[q] = r["queries"][q]
             tainted = any(lo < t1 and t0 < hi for lo, hi in bad)
             if not tainted:
                 n_clean += 1
@@ -167,8 +170,32 @@ def leg(cpus: int, sf_dir: str) -> dict | None:
             with open(os.path.join(REPO, f"BENCH_local{cpus}.json"), "w") as fh:
                 json.dump(out, fh, indent=1)
             return out
-    print(f"[leg {cpus}] gave up after {MAX_TRIES} attempts; "
-          f"clean so far: {best}", file=sys.stderr, flush=True)
+    # exhausted: emit the leg anyway, filling still-missing queries with
+    # the MIN across all attempts — degradation only inflates, so that min
+    # is an honest UPPER BOUND on the clean time; the output names exactly
+    # which queries are bounds, not clean measurements.
+    if meta and best_any:
+        queries = {q: best.get(q, best_any[q]) for q in best_any}
+        ub = sorted(set(best_any) - set(best))
+        total = round(sum(queries.values()), 3)
+        out = dict(meta)
+        out["value"] = total
+        out["queries"] = queries
+        out["pages_per_sec"] = round(out["n_pages"] / queries["pages_tile_join"], 2)
+        out["edges_per_sec"] = round(
+            out["n_edges"]
+            / (queries["network_build"] + queries["attributes_score"]), 2
+        )
+        out["gate"] = "per-query continuous canary"
+        out["gate_nominal_s"] = nominal_s
+        out["gate_attempts"] = attempts_used
+        out["canary_worst_clean_s"] = round(worst_clean_canary, 2)
+        out["upper_bound_queries"] = ub
+        print(f"[leg {cpus}] EXHAUSTED; emitting with upper-bound queries: {ub}",
+              file=sys.stderr, flush=True)
+        with open(os.path.join(REPO, f"BENCH_local{cpus}.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+        return out
     return None
 
 
