@@ -55,10 +55,20 @@ def main() -> None:
     # the same way)
     if n_pages >= 1_000_000:
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    extra_conf = {
+        # the fixture-cache parquet dirs are many small files; default file
+        # packing (128 MB target, 4 MB open cost) collapses the 2.4M-page
+        # table to ~11 input splits — pre-shuffle work (the fused extract
+        # UDF) would cap at 11-way parallelism regardless of cores
+        "spark.sql.files.maxPartitionBytes": str(16 << 20),
+        "spark.sql.files.openCostInBytes": str(1 << 20),
+    }
+    if "local-cluster" in master:
+        extra_conf["spark.executor.memory"] = "10g"
     spark = build_session(
         app_name="netascore-bench", master=master,
         shuffle_partitions=64,
-        extra_conf={"spark.executor.memory": "10g"} if "local-cluster" in master else None,
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -94,7 +104,19 @@ def main() -> None:
         path = os.path.join(fixcache, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             build().write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        # small tables (layers, osm) still pack into 1-2 splits even with
+        # the lowered packing target; pre-shuffle per-partition work (ring
+        # decode, WKB parse) would serialize there.  Restore generation-time
+        # width — the shuffle is trivially small for exactly the tables this
+        # hits (the size guard keeps the big page table on its file splits).
+        dir_bytes = sum(
+            os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+        )
+        width = spark.sparkContext.defaultParallelism
+        if dir_bytes < (32 << 20) and df.rdd.getNumPartitions() < width:
+            df = df.repartition(width)
+        return df
 
     # --- network + attributes + scoring (edges/sec) -----------------------
     osm = cached_df(
