@@ -620,21 +620,35 @@ def pip_expr(px: Column, py: Column, rings: Column) -> Column:
         xint = (e["x2"] - e["x1"]) * (py - e["y1"]) / (e["y2"] - e["y1"]) + e["x1"]
         return opens & (px < xint)
 
-    def on_boundary(ring):
-        return F.exists(ring, lambda e: seg_dist(e) <= eps)
-
-    def odd_crossings(ring):
-        cnt = F.aggregate(
+    # Higher-order functions are CodegenFallback (interpreted, per-row
+    # closure allocation), so the number of HOF passes per ring is the
+    # dominant constant.  ONE fused aggregate per ring computes crossing
+    # count AND boundary flag, with the combine done in the finish lambda
+    # so the accumulator is evaluated once.  The per-edge arithmetic
+    # (seg_dist with sqrt, crossing with the x-intercept division) is
+    # unchanged term-for-term — boolean parity with ops.point_in_polygon
+    # is pinned by the property test and the pip_join oracle.
+    def ring_scan(ring, combine):
+        return F.aggregate(
             ring,
-            F.lit(0),
-            lambda acc, e: acc + F.when(crossing(e), F.lit(1)).otherwise(F.lit(0)),
+            F.struct(F.lit(0).alias("cnt"), F.lit(False).alias("bnd")),
+            lambda acc, e: F.struct(
+                (
+                    acc["cnt"] + F.when(crossing(e), F.lit(1)).otherwise(F.lit(0))
+                ).alias("cnt"),
+                (acc["bnd"] | (seg_dist(e) <= eps)).alias("bnd"),
+            ),
+            combine,
         )
-        return cnt % 2 == 1
 
     exterior = rings[0]
-    inside0 = on_boundary(exterior) | odd_crossings(exterior)
+    # inside exterior: on boundary OR odd crossings
+    inside0 = ring_scan(exterior, lambda a: a["bnd"] | (a["cnt"] % 2 == 1))
     holes = F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0)))
-    in_hole = F.exists(holes, lambda h: ~on_boundary(h) & odd_crossings(h))
+    # inside a hole: odd crossings AND NOT on the hole's boundary
+    in_hole = F.exists(
+        holes, lambda h: ring_scan(h, lambda a: ~a["bnd"] & (a["cnt"] % 2 == 1))
+    )
     return inside0 & ~F.coalesce(in_hole, F.lit(False))
 
 
