@@ -652,6 +652,114 @@ def pip_expr(px: Column, py: Column, rings: Column) -> Column:
     return inside0 & ~F.coalesce(in_hole, F.lit(False))
 
 
+_FLAT_EDGE_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("ring", T.IntegerType()),
+            T.StructField("x1", T.DoubleType()),
+            T.StructField("y1", T.DoubleType()),
+            T.StructField("x2", T.DoubleType()),
+            T.StructField("y2", T.DoubleType()),
+        ]
+    )
+)
+
+# bit-mask PIP encodes one ring per bit of a long; ring index 64 would wrap
+# (Java << is mod 64) and collide with the exterior bit
+MAX_NATIVE_RINGS = 64
+
+
+def polygon_edges_udf():
+    """WKB polygon -> FLAT array of (ring, x1, y1, x2, y2) edges, for the
+    codegen-native PIP path (explode + bit-mask aggregate).  One
+    O(|polygons|) Arrow pass, same decode as polygon_rings_udf but without
+    the ring nesting so ONE native ``explode`` reaches the edges.
+
+    Polygons with more than MAX_NATIVE_RINGS rings don't fit the 64-bit
+    parity mask — raise with a pointer at the HOF path (pip_expr)."""
+
+    @F.pandas_udf(_FLAT_EDGE_TYPE)
+    def _edges(geoms: pd.Series) -> pd.Series:
+        out = []
+        for g in geoms:
+            if g is None:
+                out.append(None)
+                continue
+            kind, rings = wkb.decode(bytes(g))
+            if kind != "Polygon":
+                raise ValueError(f"polygon_edges_udf: expected Polygon, got {kind}")
+            if len(rings) > MAX_NATIVE_RINGS:
+                raise ValueError(
+                    f"polygon_edges_udf: {len(rings)} rings > {MAX_NATIVE_RINGS}; "
+                    "use join_polygons(strategy='hof') for this layer"
+                )
+            out.append(
+                [
+                    (ri, float(r[i, 0]), float(r[i, 1]), float(r[i + 1, 0]), float(r[i + 1, 1]))
+                    for ri, r in enumerate(rings)
+                    for i in range(len(r) - 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return _edges
+
+
+def pip_edge_flags(px: Column, py: Column, e: Column) -> tuple[Column, Column]:
+    """(crossing, boundary) for ONE exploded ring edge — plain codegen'd
+    column arithmetic, term-for-term the per-edge body of
+    ops.point_in_ring (geometry/ops.py:238): half-open ray-cast rule
+    ``(y1 > py) != (y2 > py)`` then ``px < x-intercept``; boundary is the
+    exact point-segment distance within ops.EPS (same clip-t formula as
+    point_segment_dist_expr, den substituted 1.0 for degenerate segments).
+
+    Unlike pip_expr's higher-order functions (CodegenFallback: interpreted
+    per-row with closure allocation), every term here lives inside
+    whole-stage codegen; parity with the python kernel is pinned by
+    tests/test_properties.py and the pip_join oracle."""
+    dx = e["x2"] - e["x1"]
+    dy = e["y2"] - e["y1"]
+    den = dx * dx + dy * dy
+    den = F.when(den <= F.lit(1e-18), F.lit(1.0)).otherwise(den)
+    t = F.least(
+        F.greatest(((px - e["x1"]) * dx + (py - e["y1"]) * dy) / den, F.lit(0.0)),
+        F.lit(1.0),
+    )
+    ddx = px - (e["x1"] + t * dx)
+    ddy = py - (e["y1"] + t * dy)
+    boundary = F.sqrt(ddx * ddx + ddy * ddy) <= F.lit(ops.EPS)
+    opens = (e["y1"] > py) != (e["y2"] > py)
+    # when opens is false y2 == y1 may divide by zero -> NaN; px < NaN is
+    # false and the conjunction already gates on opens, same as the kernel
+    xint = (e["x2"] - e["x1"]) * (py - e["y1"]) / (e["y2"] - e["y1"]) + e["x1"]
+    crossing = opens & (px < xint)
+    return crossing, boundary
+
+
+def ring_bit(ring: Column) -> Column:
+    """``1L << ring`` with a Column shift amount.  ``F.shiftleft``'s
+    ``numBits`` parameter only accepts a python int, so route through the
+    SQL function registry, which takes Columns for both arguments."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"), ring)
+
+
+def pip_mask_verdict(xm: Column, bm: Column) -> Column:
+    """Combine the per-(point, polygon) parity/boundary bit masks into the
+    ST_Contains verdict.  Bit r of ``xm`` is the ray-cast crossing parity
+    of ring r (bit_xor of ``1L << ring`` per crossing edge); bit r of
+    ``bm`` is 'on ring r's boundary within EPS' (bit_or).  Exactly
+    ops.point_in_polygon: inside the exterior = boundary OR odd parity
+    (bit 0); excluded by a hole = odd parity AND NOT boundary on any ring
+    >= 1 (bits 1..63 of xm & ~bm)."""
+    one = F.lit(1).cast("long")
+    inside0 = xm.bitwiseOR(bm).bitwiseAND(one) == one
+    in_hole = (
+        xm.bitwiseAND(F.bitwise_not(bm)).bitwiseAND(F.lit(-2).cast("long"))
+        != F.lit(0).cast("long")
+    )
+    return inside0 & ~in_hole
+
+
 def dwithin_point_line_native(
     points: DataFrame,
     lines: DataFrame,

@@ -39,9 +39,8 @@ def test_grid_ways_split_at_crossings(spark, net):
     assert h0.count() >= 7
     # total length preserved per osm_id
     osm_len = {
-        r["osm_id"]: sum(
-            float(np.hypot(*(np.diff(wkb.decode(bytes(r["way"]))[1], axis=0).T)))
-            for _ in [0]
+        r["osm_id"]: float(
+            np.hypot(*(np.diff(wkb.decode(bytes(r["way"]))[1], axis=0).T)).sum()
         )
         for r in osm.filter(F.col("name") == "H0").collect()
     }

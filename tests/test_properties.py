@@ -313,3 +313,53 @@ def test_locate_points_matches_scalar(pts, probes, rnd):
             assert np.isnan(vec[k])
         else:
             assert float(vec[k]) == float(s)
+
+
+@given(
+    st.lists(st.tuples(coord, coord), min_size=3, max_size=8),
+    st.lists(st.tuples(coord, coord), min_size=3, max_size=6),
+    st.lists(st.tuples(coord, coord), min_size=1, max_size=20),
+)
+@settings(max_examples=40, deadline=None)
+def test_pip_native_masks_match_kernel(spark, ring_pts, hole_pts, probes):
+    """The codegen-native PIP decomposition (polygon_edges_udf -> explode ->
+    pip_edge_flags -> bit_xor/bit_or masks -> pip_mask_verdict) must agree
+    bit-for-bit with ops.point_in_polygon, INCLUDING the hole-exclusion rule
+    (odd parity AND not on the hole's boundary).  The 'hole' ring here is an
+    arbitrary second ring — the formula equivalence doesn't require
+    geometric containment, so arbitrary rings cover more of the domain."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from netascore_spark.geometry import wkb as _wkb
+    from netascore_spark.operators import spatial
+
+    ring = np.array(ring_pts + ring_pts[:1], dtype=float)
+    hole = np.array(hole_pts + hole_pts[:1], dtype=float)
+    if abs(ops.ring_signed_area(ring)) < 1e-6 or abs(ops.ring_signed_area(hole)) < 1e-6:
+        return  # degenerate sliver: PIP of a zero-area ring is out of domain
+    rings = [ring, hole]
+    geom = _wkb.encode(("Polygon", rings))
+    pdf = pd.DataFrame(probes, columns=["px", "py"]).astype("float64")
+    pdf["pid"] = range(len(pdf))
+    pdf["geom"] = [bytearray(geom)] * len(pdf)
+    df = spark.createDataFrame(pdf).withColumn(
+        "edges", spatial.polygon_edges_udf()(F.col("geom"))
+    )
+    per_edge = df.select("pid", "px", "py", F.explode("edges").alias("e"))
+    crossing, boundary = spatial.pip_edge_flags(F.col("px"), F.col("py"), F.col("e"))
+    bit = spatial.ring_bit(F.col("e.ring"))
+    zero = F.lit(0).cast("long")
+    masks = per_edge.groupBy("pid").agg(
+        F.bit_xor(F.when(crossing, bit).otherwise(zero)).alias("xm"),
+        F.bit_or(F.when(boundary, bit).otherwise(zero)).alias("bm"),
+    )
+    got = (
+        masks.withColumn("hit", spatial.pip_mask_verdict(F.col("xm"), F.col("bm")))
+        .orderBy("pid")
+        .toPandas()["hit"]
+        .to_numpy()
+    )
+    exp = np.array(
+        [ops.point_in_polygon(np.array(p, dtype=float), rings) for p in probes]
+    )
+    assert (got == exp).all()
