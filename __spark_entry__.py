@@ -1067,33 +1067,39 @@ def q_score_network(spark, sf_dir):
     )
 
 
-def q_pages_extract(spark, sf_dir):
-    from netascore_spark.pipeline.pages import extract_pages
-    from netascore_spark.sources import fixtures
-
-    pg = extract_pages(fixtures.pages(spark, n=2000))
-    return pg.select(
-        "url",
-        F.col("extracted_text").eqNullSafe(F.col("text")).alias("byte_identical"),
-        F.col("cell"),
+def q_pages_pipeline(spark, sf_dir):
+    """End-to-end pages stage on the fixture corpus: fused HTML extraction
+    (byte-identity bit inline) -> codegen-native PIP containment ->
+    cell-ring kNN to the nearest network edge, joined back to one summary
+    row per page.  Replaces the former pages_extract/pages_pip/pages_knn
+    trio (the driver report caps at 50 queries; the per-operator machinery
+    keeps its own SQL oracles via page_extract / pip_join / knn_join)."""
+    from netascore_spark.pipeline.pages import (
+        extract_pages, join_polygons, nearest_edges,
     )
-
-
-def q_pages_pip(spark, sf_dir):
-    from netascore_spark.pipeline.pages import extract_pages, join_polygons
     from netascore_spark.sources import fixtures
 
     pg = extract_pages(fixtures.pages(spark, n=2000))
-    return join_polygons(pg, fixtures.admin_polygons(spark))
-
-
-def q_pages_knn(spark, sf_dir):
-    from netascore_spark.pipeline.pages import extract_pages, nearest_edges
-    from netascore_spark.sources import fixtures
-
-    pg = extract_pages(fixtures.pages(spark, n=2000))
+    pip = (
+        join_polygons(pg, fixtures.admin_polygons(spark))
+        .groupBy("url")
+        .agg(F.count("*").alias("n_polygons"))
+    )
     _, (edges, _) = _fixture_network(spark)
-    return nearest_edges(pg, edges, k=1, radius=500.0)
+    knn = nearest_edges(pg, edges, k=1, radius=500.0).select(
+        "url", "edge_id", "dist"
+    )
+    return (
+        pg.select(
+            "url",
+            F.col("extracted_text").eqNullSafe(F.col("text")).alias(
+                "byte_identical"
+            ),
+            "cell",
+        )
+        .join(pip, "url", "left")
+        .join(knn, "url", "left")
+    )
 
 
 def q_page_extract(spark, sf_dir):
@@ -1843,9 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "network_nodes": q_network_nodes,
         "edge_attributes": q_edge_attributes,
         "score_network": q_score_network,
-        "pages_extract": q_pages_extract,
-        "pages_pip": q_pages_pip,
-        "pages_knn": q_pages_knn,
+        "pages_pipeline": q_pages_pipeline,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ann_lsh": q_ann_lsh,
