@@ -1256,11 +1256,45 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 
 
 def q_multimodal_features(spark, sf_dir):
-    from netascore_spark.operators.multimodal import extract_features, synthetic_media
+    """REAL byte-histogram/entropy feature extraction (Arrow mapInPandas,
+    operators/multimodal.py:extract_features) — now SQL-checked: the binary
+    payload is synthesized NATIVELY (unhex(repeat(md5(text), k))), so DuckDB
+    sees byte-identical blobs; the oracle recomputes the 16-bucket histogram
+    entropy from the hex form (bucket = byte >> 4 = the high nibble = every
+    odd hex char), gating the operator's actual histogram/entropy math."""
+    from netascore_spark.operators.multimodal import extract_features
 
-    return extract_features(synthetic_media(spark, n=200)).select(
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.selectExpr(
+        "doc_id AS media_id",
+        "'doc' AS media_type",
+        "unhex(repeat(md5(text), CAST(4 + doc_id % 5 AS INT))) AS payload",
+    )
+    return extract_features(media).select(
         "media_id", "media_type", "n_bytes", "byte_entropy"
     )
+
+
+_MULTIMODAL_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, repeat(md5(text), CAST(4 + doc_id % 5 AS INT)) AS hx
+  FROM documents WHERE doc_id < 200
+),
+chars AS (
+  SELECT doc_id, substr(hx, CAST(2*i - 1 AS INT), 1) AS c, total
+  FROM (SELECT doc_id, hx, length(hx)//2 AS total,
+               unnest(range(1, length(hx)//2 + 1)) AS i FROM docs)
+),
+hist AS (
+  SELECT doc_id, c, any_value(total) AS total, count(*) AS cnt
+  FROM chars GROUP BY 1, 2
+)
+SELECT doc_id AS media_id, 'doc' AS media_type,
+       any_value(total) AS n_bytes,
+       round(-sum((cnt / CAST(total AS DOUBLE))
+                  * log2(cnt / CAST(total AS DOUBLE))), 6) AS byte_entropy
+FROM hist GROUP BY 1
+"""
 
 
 # ===========================================================================
@@ -1421,13 +1455,80 @@ def q_image_decode(spark, sf_dir):
 
 
 def q_audio_decode(spark, sf_dir):
-    """REAL 16-bit PCM WAV decode + spectral features —
-    netascore_spark/operators/multimodal.py:decode_audio."""
-    from netascore_spark.operators.multimodal import decode_audio, synthetic_media
+    """REAL 16-bit PCM WAV decode (stdlib struct parse of RIFF/fmt/data
+    chunks, operators/codecs.py:decode_wav) — now SQL-checked: a complete
+    WAV file is assembled NATIVELY as hex (44-byte header + little-endian
+    int16 samples) and unhex'd, the real Arrow decode runs over the blob,
+    and DuckDB recomputes rms/zero-crossings/duration from the same integer
+    sample formula.  Samples are ±512*k (k in 3..7) so every float32 step of
+    the decode (s/32768, square, pairwise mean, sqrt) is EXACT and rms is
+    exactly k/64 — a 6-decimal round ties never."""
+    from netascore_spark.operators.multimodal import decode_audio
 
-    return decode_audio(synthetic_media(spark, n=200)).select(
-        "media_id", "sample_rate", "duration_ms", "rms", "zero_crossings"
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 67)
+    le16 = (
+        "lpad(lower(hex({v} % 256)), 2, '0') || "
+        "lpad(lower(hex(({v} div 256) % 256)), 2, '0')"
     )
+    le32 = le16 + (
+        " || lpad(lower(hex(({v} div 65536) % 256)), 2, '0') || "
+        "lpad(lower(hex(({v} div 16777216) % 256)), 2, '0')"
+    )
+    # sign pattern and amplitude are pure integer formulas, identical in the
+    # DuckDB oracle; u is the int16 two's-complement byte value of s
+    sample_hex = (
+        "array_join(transform(sequence(CAST(0 AS BIGINT), n - 1), i -> "
+        "  " + le16.format(
+            v="(CASE WHEN (doc_id*7919 + i*i*104729) % 97 < 48 "
+              "THEN 512*k ELSE 65536 - 512*k END)"
+        ) + "), '')"
+    )
+    header_hex = (
+        "'52494646' || " + le32.format(v="(36 + 2*n)")
+        + " || '57415645666d74201000000001000100401f0000803e000002001000"
+        "64617461' || " + le32.format(v="(2*n)")
+    )
+    media = docs.selectExpr(
+        "doc_id",
+        "CAST(400 + (doc_id % 7) * 50 AS BIGINT) AS n",
+        "CAST(3 + doc_id % 5 AS BIGINT) AS k",
+    ).selectExpr(
+        "doc_id AS media_id",
+        "'audio' AS media_type",
+        f"unhex({header_hex} || {sample_hex}) AS payload",
+    )
+    return decode_audio(media).select(
+        "media_id", "sample_rate", "n_samples", "duration_ms", "rms",
+        "zero_crossings",
+    )
+
+
+_AUDIO_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, 400 + (doc_id % 7) * 50 AS n, 3 + (doc_id % 5) AS k
+  FROM documents WHERE doc_id < 67
+),
+samp AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id*7919 + i*i*104729) % 97 < 48 THEN 1 ELSE -1 END AS sgn,
+         i
+  FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM docs)
+),
+zc AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> sgn THEN 1 ELSE 0 END)
+              AS BIGINT) AS zero_crossings
+  FROM (SELECT doc_id, sgn,
+               lag(sgn) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM samp)
+  GROUP BY 1
+)
+SELECT d.doc_id AS media_id, 8000 AS sample_rate, d.n AS n_samples,
+       CAST(floor(d.n * 1000.0 / 8000) AS BIGINT) AS duration_ms,
+       round(d.k / 64.0, 6) AS rms,
+       z.zero_crossings
+FROM docs d JOIN zc z USING (doc_id)
+"""
 
 
 def q_frame_sample(spark, sf_dir):
@@ -1904,6 +2005,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_VERDICT_ORACLE,
         "ann_ivf": _ANN_VERDICT_ORACLE,
         "embedding_dedup": _EMBEDDING_DEDUP_ORACLE,
-        # remaining spatial/web-scale ops: rows-only (the geometry kernel
-        # over fixture WKB is not ANSI-SQL-expressible)
+        "multimodal_features": _MULTIMODAL_ORACLE,
+        "audio_decode": _AUDIO_ORACLE,
+        # remaining rows-only entries:
+        # - image_decode / frame_sample: the decode path is zlib INFLATE of
+        #   the PNG IDAT stream (LZ77 + Huffman) — not expressible in ANSI
+        #   SQL, and even a stored-block PNG needs CRC32/adler32 polynomial
+        #   arithmetic per byte; gated instead by pytest round-trip tests
+        #   against the pure-python codec (tests/test_training_ops.py).
+        # - network_edges/nodes, edge_attributes, score_network,
+        #   pages_pipeline: geometry kernel over fixture WKB.
     }
