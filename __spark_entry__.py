@@ -893,9 +893,9 @@ def q_bpe_tokens(spark, sf_dir):
 
 _BPE_ORACLE = r"""
 SELECT doc_id,
-    len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+|\s+')) AS n_bpe_tokens,
+    len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} \t\n\f\r]+|[ \t\n\f\r]+')) AS n_bpe_tokens,
     md5(array_to_string(
-        regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+|\s+'),
+        regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} \t\n\f\r]+|[ \t\n\f\r]+'),
         chr(31))) AS tokens_digest
 FROM documents
 """
@@ -1025,45 +1025,340 @@ def _fixture_network(spark):
     return _FIXTURE_CACHE[key]
 
 
+def _grid_network(spark):
+    """Build (and persist) the ORACLE-CONSTRAINED grid network once per
+    session (fixtures.grid_osm_lines): the full real pipeline — J2 cell
+    self-join, exact python intersection kernel, correction filters,
+    ST_Split UDF, node dedup, W3/W4 id assignment — over input whose
+    crossings are all interior integer grid points, so the whole
+    composition is SQL-reproducible (_GRID_NET_SQL)."""
+    from netascore_spark.pipeline.network import build_network
+    from netascore_spark.sources import fixtures
+
+    key = ("grid", id(spark))
+    if key not in _FIXTURE_CACHE:
+        osm = fixtures.grid_osm_lines(spark)
+        edges, nodes = build_network(osm)
+        _FIXTURE_CACHE[key] = (osm, (edges.localCheckpoint(), nodes.localCheckpoint()))
+    return _FIXTURE_CACHE[key]
+
+
 def q_network_edges(spark, sf_dir):
-    _, (edges, _) = _fixture_network(spark)
+    """Full network composition (osm lines -> intersections -> split ->
+    ids), SQL-checked on the constrained grid; general-geometry coverage
+    stays pinned by the pytest network goldens."""
+    _, (edges, _) = _grid_network(spark)
     return edges.select("edge_id", "osm_id", "seg_seq", "from_node", "to_node",
                         F.round("length", 4).alias("length"))
 
 
 def q_network_nodes(spark, sf_dir):
-    _, (_, nodes) = _fixture_network(spark)
+    _, (_, nodes) = _grid_network(spark)
     return nodes.select("node_id", F.round("x", 4).alias("x"), F.round("y", 4).alias("y"))
 
 
-def q_edge_attributes(spark, sf_dir):
+# SQL mirror of fixtures.grid_osm_lines + pipeline/network.py on it: the
+# crossing set, per-way split boundaries, seg_seq/edge_id/node_id ranks.
+# Shared by the network_edges / network_nodes oracles below.
+_GRID_NET_COMMON = """
+WITH h AS (
+  SELECT i AS osm_id, 10*i AS y,
+         5 + 10*((i*7) % 13) AS x0,
+         5 + 10*((i*7) % 13) + 10*(3 + (i*5) % 17) AS x1
+  FROM (SELECT unnest(range(0, 40)) AS i)
+), v AS (
+  SELECT 1000 + j AS osm_id, 10*(1 + (j*11) % 37) AS x,
+         5 + 10*((j*5) % 13) AS y0,
+         5 + 10*((j*5) % 13) + 10*(3 + (j*7) % 17) AS y1
+  FROM (SELECT unnest(range(0, 30)) AS j)
+), cross_pts AS (
+  SELECT h.osm_id AS h_id, v.osm_id AS v_id, v.x AS cx, h.y AS cy
+  FROM h JOIN v ON v.x > h.x0 AND v.x < h.x1 AND h.y > v.y0 AND h.y < v.y1
+), hb AS (
+  SELECT osm_id, x0 AS b FROM h
+  UNION ALL SELECT h_id, cx FROM cross_pts
+  UNION ALL SELECT osm_id, x1 FROM h
+), vb AS (
+  SELECT osm_id, y0 AS b FROM v
+  UNION ALL SELECT v_id, cy FROM cross_pts
+  UNION ALL SELECT osm_id, y1 FROM v
+), hp AS (
+  SELECT osm_id, b AS b0,
+         lead(b) OVER (PARTITION BY osm_id ORDER BY b) AS b1,
+         row_number() OVER (PARTITION BY osm_id ORDER BY b) - 1 AS seg_seq
+  FROM hb
+), vp AS (
+  SELECT osm_id, b AS b0,
+         lead(b) OVER (PARTITION BY osm_id ORDER BY b) AS b1,
+         row_number() OVER (PARTITION BY osm_id ORDER BY b) - 1 AS seg_seq
+  FROM vb
+), pieces AS (
+  SELECT hp.osm_id, seg_seq, b0 AS fx, h.y AS fy, b1 AS tx, h.y AS ty,
+         b1 - b0 AS len
+  FROM hp JOIN h USING (osm_id) WHERE b1 IS NOT NULL
+  UNION ALL
+  SELECT vp.osm_id, seg_seq, v.x AS fx, b0 AS fy, v.x AS tx, b1 AS ty,
+         b1 - b0 AS len
+  FROM vp JOIN v USING (osm_id) WHERE b1 IS NOT NULL
+), edges AS (
+  SELECT *, row_number() OVER (ORDER BY osm_id, seg_seq) AS edge_id
+  FROM pieces
+), node_xy AS (
+  SELECT DISTINCT x, y FROM (
+    SELECT fx AS x, fy AS y FROM pieces
+    UNION ALL SELECT tx, ty FROM pieces
+  )
+), nodes AS (
+  SELECT x, y, row_number() OVER (ORDER BY x, y) AS node_id FROM node_xy
+)
+"""
+
+_NETWORK_EDGES_ORACLE = _GRID_NET_COMMON + """
+SELECT e.edge_id, e.osm_id, e.seg_seq,
+       fn.node_id AS from_node, tn.node_id AS to_node,
+       round(CAST(e.len AS DOUBLE), 4) AS length
+FROM edges e
+JOIN nodes fn ON fn.x = e.fx AND fn.y = e.fy
+JOIN nodes tn ON tn.x = e.tx AND tn.y = e.ty
+"""
+
+_NETWORK_NODES_ORACLE = _GRID_NET_COMMON + """
+SELECT node_id, round(CAST(x AS DOUBLE), 4) AS x,
+       round(CAST(y AS DOUBLE), 4) AS y
+FROM nodes
+"""
+
+# SQL mirror of pipeline/attributes.py over the grid: the tag-derived CASE
+# cascades collapse to per-style constants (style k = line index mod 3,
+# values transcribed from osm_attributes.sql.j2 :581-603 road_category,
+# :626-672 max_speed, :342-453 bicycle_infrastructure, :691-696 pavement;
+# verified against the engine's vocab tables which are themselves gated by
+# the case_vocab/access oracles), while the layer joins — J5 DWithin counts,
+# J9 DEM cell join, J10 gradient self-join — are recomputed from the same
+# integer formulas as fixtures.grid_layer_points / grid_dem.
+_GRID_ATTR_COMMON = _GRID_NET_COMMON + """, style AS (
+  SELECT e.edge_id, e.osm_id, e.fx, e.fy, e.tx, e.ty,
+         CAST(e.len AS DOUBLE) AS len,
+         CASE WHEN e.osm_id < 1000 THEN e.osm_id % 3
+              ELSE (e.osm_id - 999) % 3 END AS k
+  FROM edges e
+), fac AS (
+  SELECT 3 + 10*((m*13) % 33) AS px, 3 + 10*((m*17) % 41) AS py
+  FROM (SELECT unnest(range(0, 150)) AS m)
+), crs AS (
+  SELECT 3 + 10*((m*19) % 33) AS px, 3 + 10*((m*23) % 41) AS py
+  FROM (SELECT unnest(range(0, 100)) AS m)
+), fhit AS (
+  SELECT s.edge_id, count(*) AS cnt
+  FROM style s JOIN fac p ON sqrt(
+    power(p.px - (s.fx + least(greatest(
+      CAST((p.px - s.fx)*(s.tx - s.fx) + (p.py - s.fy)*(s.ty - s.fy) AS DOUBLE)
+      / (s.len * s.len), 0.0), 1.0) * (s.tx - s.fx)), 2)
+    + power(p.py - (s.fy + least(greatest(
+      CAST((p.px - s.fx)*(s.tx - s.fx) + (p.py - s.fy)*(s.ty - s.fy) AS DOUBLE)
+      / (s.len * s.len), 0.0), 1.0) * (s.ty - s.fy)), 2)
+  ) <= 30.0
+  GROUP BY 1
+), chit AS (
+  SELECT s.edge_id, count(*) AS cnt
+  FROM style s JOIN crs p ON sqrt(
+    power(p.px - (s.fx + least(greatest(
+      CAST((p.px - s.fx)*(s.tx - s.fx) + (p.py - s.fy)*(s.ty - s.fy) AS DOUBLE)
+      / (s.len * s.len), 0.0), 1.0) * (s.tx - s.fx)), 2)
+    + power(p.py - (s.fy + least(greatest(
+      CAST((p.px - s.fx)*(s.tx - s.fx) + (p.py - s.fy)*(s.ty - s.fy) AS DOUBLE)
+      / (s.len * s.len), 0.0), 1.0) * (s.ty - s.fy)), 2)
+  ) <= 10.0
+  GROUP BY 1
+), grad AS (
+  SELECT s.edge_id,
+    round((
+      (((s.tx // 10)*3 + (s.ty // 10)*7) % 25) * 2.0
+      - (((s.fx // 10)*3 + (s.fy // 10)*7) % 25) * 2.0
+    ) / s.len * 100.0, 2) AS g
+  FROM style s
+), gclass AS (
+  SELECT edge_id,
+    CASE WHEN g > -1.5 AND g < 1.5 THEN 0.0
+         WHEN g >= 1.5 AND g < 3 THEN 1.0
+         WHEN g <= -1.5 AND g > -3 THEN -1.0
+         WHEN g >= 3 AND g < 6 THEN 2.0
+         WHEN g <= -3 AND g > -6 THEN -2.0
+         WHEN g >= 6 AND g < 12 THEN 3.0
+         WHEN g <= -6 AND g > -12 THEN -3.0
+         WHEN g >= 12 THEN 4.0
+         WHEN g <= -12 THEN -4.0 END AS gcls
+  FROM grad
+), attrs AS (
+  SELECT s.edge_id, s.osm_id, round(s.len, 4) AS length, s.k,
+    CASE s.k WHEN 0 THEN 'residential' WHEN 1 THEN 'primary'
+         ELSE 'no_mit' END AS road_category,
+    CASE s.k WHEN 0 THEN 50.0 WHEN 1 THEN 100.0 ELSE 0.0 END AS max_speed_ft,
+    CASE s.k WHEN 2 THEN 'bicycle_way' ELSE 'no' END
+      AS bicycle_infrastructure_ft,
+    CASE s.k WHEN 2 THEN 'no' ELSE 'sidewalk' END
+      AS pedestrian_infrastructure_ft,
+    CASE s.k WHEN 0 THEN 'asphalt' WHEN 1 THEN 'gravel' END AS pavement,
+    gc.gcls AS gradient_ft,
+    coalesce(round(f.cnt / s.len * 100.0, 2), 0.0) AS facilities,
+    coalesce(round(c.cnt / s.len * 100.0, 2), 0.0) AS crossings,
+    'no' AS designated_route_ft,
+    s.k <> 2 AS access_car_ft,
+    TRUE AS access_bicycle_ft,
+    s.k <> 2 AS access_pedestrian_ft,
+    FALSE AS bridge, FALSE AS tunnel, FALSE AS stairs
+  FROM style s
+  JOIN gclass gc USING (edge_id)
+  LEFT JOIN fhit f USING (edge_id)
+  LEFT JOIN chit c USING (edge_id)
+)
+"""
+
+_EDGE_ATTRIBUTES_ORACLE = _GRID_ATTR_COMMON + """
+SELECT edge_id, osm_id, length, road_category, max_speed_ft,
+       bicycle_infrastructure_ft, pedestrian_infrastructure_ft, pavement,
+       gradient_ft, facilities, crossings, designated_route_ft,
+       access_car_ft, access_bicycle_ft, access_pedestrian_ft,
+       bridge, tunnel, stairs
+FROM attrs
+"""
+
+# _grid_profile() in SQL: ws folds included weights in INDICATORS order
+# (bi, rc, ms, pav, grad); the index folds the indicator_mapping entries in
+# order with each term s_i * (w_i / ws); pavement is NULL on k=2 rows so it
+# drops out of ws (robustness < 1 there).  Spark's round() HALF_UP on the
+# shortest decimal representation is emulated with the VARCHAR->DECIMAL
+# round-trip (same trick as _DSL_ORACLE).
+_SCORE_NETWORK_ORACLE = _GRID_ATTR_COMMON + """, scored AS (
+  SELECT edge_id, k, gradient_ft,
+    CASE bicycle_infrastructure_ft WHEN 'bicycle_way' THEN 1.0::DOUBLE
+         WHEN 'no' THEN 0.0::DOUBLE END AS s_bi,
+    CASE road_category WHEN 'primary' THEN 0.0::DOUBLE
+         WHEN 'residential' THEN 0.8::DOUBLE
+         WHEN 'no_mit' THEN 0.9::DOUBLE END AS s_rc,
+    CASE WHEN max_speed_ft >= 100 THEN 0.0::DOUBLE
+         WHEN max_speed_ft >= 50 THEN 0.6::DOUBLE
+         WHEN max_speed_ft > 0 THEN 0.9::DOUBLE
+         WHEN max_speed_ft = 0 THEN 1.0::DOUBLE END AS s_ms,
+    CASE gradient_ft WHEN 4 THEN 0.0::DOUBLE WHEN 3 THEN 0.25::DOUBLE
+         WHEN 2 THEN 0.4::DOUBLE WHEN 1 THEN 0.5::DOUBLE
+         WHEN 0 THEN 0.9::DOUBLE WHEN -1 THEN 1.0::DOUBLE
+         WHEN -2 THEN 0.95::DOUBLE WHEN -3 THEN 0.35::DOUBLE
+         WHEN -4 THEN 0.0::DOUBLE END AS s_grad_ft,
+    CASE -gradient_ft WHEN 4 THEN 0.0::DOUBLE WHEN 3 THEN 0.25::DOUBLE
+         WHEN 2 THEN 0.4::DOUBLE WHEN 1 THEN 0.5::DOUBLE
+         WHEN 0 THEN 0.9::DOUBLE WHEN -1 THEN 1.0::DOUBLE
+         WHEN -2 THEN 0.95::DOUBLE WHEN -3 THEN 0.35::DOUBLE
+         WHEN -4 THEN 0.0::DOUBLE END AS s_grad_tf,
+    CASE pavement WHEN 'asphalt' THEN 1.0::DOUBLE
+         WHEN 'gravel' THEN 0.75::DOUBLE END AS s_pav,
+    ((((0.0::DOUBLE + 0.1::DOUBLE) + 0.3::DOUBLE) + 0.2::DOUBLE)
+     + CASE WHEN pavement IS NOT NULL THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END)
+     + 0.2::DOUBLE AS ws,
+    ((((0.0::DOUBLE + 0.1::DOUBLE) + 0.3::DOUBLE) + 0.2::DOUBLE)
+     + 0.2::DOUBLE) + 0.2::DOUBLE AS wt
+  FROM attrs
+)
+SELECT edge_id,
+  CAST(round(CAST(CAST(
+    0.0::DOUBLE + s_bi*(0.1::DOUBLE/ws) + s_rc*(0.3::DOUBLE/ws)
+      + s_ms*(0.2::DOUBLE/ws) + s_grad_ft*(0.2::DOUBLE/ws)
+      + CASE WHEN s_pav IS NOT NULL THEN s_pav*(0.2::DOUBLE/ws)
+             ELSE 0.0::DOUBLE END
+    AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS index_grid_ft,
+  CAST(round(CAST(CAST(
+    0.0::DOUBLE + s_bi*(0.1::DOUBLE/ws) + s_rc*(0.3::DOUBLE/ws)
+      + s_ms*(0.2::DOUBLE/ws) + s_grad_tf*(0.2::DOUBLE/ws)
+      + CASE WHEN s_pav IS NOT NULL THEN s_pav*(0.2::DOUBLE/ws)
+             ELSE 0.0::DOUBLE END
+    AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS index_grid_tf,
+  round(ws / wt, 4) AS index_grid_ft_robustness
+FROM scored
+"""
+
+
+def _grid_attributes(spark):
+    """Full attribute stage over the oracle-constrained grid network:
+    facility/crossing DWithin counts (J5), DEM raster join + gradient
+    (J9/J10), designated_route (J4, vacuously 'no'), and the tag-derived
+    CASE cascades (P5-P8) — every output SQL-reproducible."""
     from netascore_spark.pipeline.attributes import build_attributes
     from netascore_spark.sources import fixtures
 
-    osm, (edges, nodes) = _fixture_network(spark)
-    layers = {
-        "facility": fixtures.layer_points(spark, "facility"),
-        "crossing": fixtures.layer_points(spark, "crossing"),
-        "building": fixtures.layer_polygons(spark, "building"),
-        "greenness": fixtures.layer_polygons(spark, "greenness"),
-        "water": fixtures.water_layer(spark),
-        "noise": fixtures.noise_layer(spark),
-        "dem": fixtures.dem_grid(spark),
-    }
-    attrs, _ = build_attributes(edges, nodes, osm, layers)
-    return attrs
+    key = ("grid_attrs", id(spark))
+    if key not in _FIXTURE_CACHE:
+        osm, (edges, nodes) = _grid_network(spark)
+        layers = {
+            "facility": fixtures.grid_layer_points(spark, "facility"),
+            "crossing": fixtures.grid_layer_points(spark, "crossing"),
+            "dem": fixtures.grid_dem(spark),
+        }
+        attrs, _ = build_attributes(edges, nodes, osm, layers)
+        _FIXTURE_CACHE[key] = attrs.localCheckpoint()
+    return _FIXTURE_CACHE[key]
+
+
+def q_edge_attributes(spark, sf_dir):
+    attrs = _grid_attributes(spark)
+    _, (edges, _) = _grid_network(spark)
+    return attrs.join(
+        edges.select("edge_id", "osm_id", F.round("length", 4).alias("length")),
+        "edge_id",
+    ).select(
+        "edge_id", "osm_id", "length",
+        "road_category", "max_speed_ft", "bicycle_infrastructure_ft",
+        "pedestrian_infrastructure_ft", "pavement", "gradient_ft",
+        "facilities", "crossings", "designated_route_ft",
+        "access_car_ft", "access_bicycle_ft", "access_pedestrian_ft",
+        "bridge", "tunnel", "stairs",
+    )
+
+
+def _grid_profile():
+    """Scoring profile for the grid network covering every attribute value
+    the grid produces — the full YAML-DSL compiler path (F4/J13) whose
+    output is then SQL-reproducible (the bike/walk YAML profiles stay
+    exercised by pytest goldens and the dsl_score oracle covers overrides)."""
+    from netascore_spark.plans.profile import INDICATORS, Profile
+
+    return Profile(
+        name="grid",
+        weights={
+            **{i: None for i in INDICATORS},
+            "bicycle_infrastructure": 0.1,
+            "road_category": 0.3,
+            "max_speed": 0.2,
+            "pavement": 0.2,
+            "gradient": 0.2,
+        },
+        indicator_mapping=[
+            {"indicator": "bicycle_infrastructure",
+             "mapping": {"bicycle_way": 1.0, "no": 0.0}},
+            {"indicator": "road_category",
+             "mapping": {"primary": 0.0, "residential": 0.8, "no_mit": 0.9}},
+            {"indicator": "max_speed",
+             "classes": {"ge100": 0.0, "ge50": 0.6, "g0": 0.9, "e0": 1.0}},
+            {"indicator": "gradient",
+             "mapping": {4: 0.0, 3: 0.25, 2: 0.4, 1: 0.5, 0: 0.9, -1: 1.0,
+                         -2: 0.95, -3: 0.35, -4: 0.0}},
+            {"indicator": "pavement",
+             "mapping": {"asphalt": 1.0, "gravel": 0.75}},
+        ],
+    )
 
 
 def q_score_network(spark, sf_dir):
-    from netascore_spark.plans.profile import Profile, attach_index
+    """osm lines -> network -> attributes -> compiled index, end-to-end on
+    the oracle-constrained grid.  Directional: gradient_tf = -gradient_ft,
+    so ft/tf indexes genuinely differ; pavement is NULL on cycleway rows,
+    so the robustness (weights_sum / weights_total) path is exercised."""
+    from netascore_spark.plans.profile import attach_index
 
-    attrs = q_edge_attributes(spark, sf_dir)
-    bike = Profile.from_yaml("profiles/profile_bike.yml", "bike")
-    walk = Profile.from_yaml("profiles/profile_walk.yml", "walk")
-    scored = attach_index(attach_index(attrs, bike), walk)
+    attrs = _grid_attributes(spark)
+    scored = attach_index(attrs, _grid_profile())
     return scored.select(
-        "edge_id", "index_bike_ft", "index_bike_tf", "index_walk_ft",
-        "index_walk_tf", "index_bike_ft_robustness", "index_walk_ft_robustness",
+        "edge_id", "index_grid_ft", "index_grid_tf",
+        "index_grid_ft_robustness",
     )
 
 
@@ -2007,6 +2302,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": _EMBEDDING_DEDUP_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
         "audio_decode": _AUDIO_ORACLE,
+        "network_edges": _NETWORK_EDGES_ORACLE,
+        "network_nodes": _NETWORK_NODES_ORACLE,
+        "edge_attributes": _EDGE_ATTRIBUTES_ORACLE,
+        "score_network": _SCORE_NETWORK_ORACLE,
         # remaining rows-only entries:
         # - image_decode / frame_sample: the decode path is zlib INFLATE of
         #   the PNG IDAT stream (LZ77 + Huffman) — not expressible in ANSI

@@ -71,7 +71,10 @@ def fingerprint(text: Column) -> Column:
 # the SAME pattern runs under Java regex (Spark) and RE2 (DuckDB oracle))
 # ---------------------------------------------------------------------------
 
-BPE_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+|\s+"
+# whitespace is the EXPLICIT class [ \t\n\f\r], not \s: Java's \s includes
+# \x0B (vertical tab) while RE2's does not — a document containing VT would
+# tokenize differently between engine and DuckDB oracle
+BPE_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} \t\n\f\r]+|[ \t\n\f\r]+"
 
 
 def bpe_tokens(text: Column) -> Column:

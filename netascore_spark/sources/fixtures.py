@@ -192,6 +192,102 @@ def osm_lines(spark: SparkSession, scale: int = 1) -> DataFrame:
     return spark.createDataFrame(rows, _OSM_LINE_SCHEMA)
 
 
+GRID_HIGHWAYS = ["residential", "primary", "cycleway"]
+GRID_SURFACES = ["asphalt", "gravel", None]
+
+
+def grid_osm_lines(spark: SparkSession, n_h: int = 40, n_v: int = 30) -> DataFrame:
+    """ORACLE-CONSTRAINED street grid: axis-aligned two-point ways whose
+    every intersection is a proper interior crossing at an exact integer
+    grid point, so the full network composition (J2 self-join ->
+    ST_Split -> node dedup -> W3/W4 id assignment,
+    ref sql/templates/osm_network.sql.j2:78-364) is reproducible in plain
+    ANSI SQL from the SAME integer formulas (see __spark_entry__'s
+    _grid_network_sql).
+
+    The construction guarantees:
+    - horizontal endpoints have x = 5 (mod 10), vertical lines sit at
+      x = 0 (mod 10) -> crossings are never at endpoints (no T-junctions,
+      no shared endpoints, so the NOT-ST_Equals pair filter and the
+      endpoint-proximity correction deletes are all no-ops by design);
+    - vertical x positions are unique (11 coprime to 37) and horizontal
+      y positions are unique -> no collinear overlaps;
+    - all coordinates are integers -> split points, node keys and lengths
+      are exact after the pipeline's round(6)/round(4).
+    """
+    if n_v > 37:
+        raise ValueError("n_v <= 37 keeps vertical x positions unique")
+    rows = []
+    for i in range(n_h):
+        a = (i * 7) % 13
+        x0 = 5 + 10 * a
+        x1 = x0 + 10 * (3 + (i * 5) % 17)
+        rows.append(
+            _row(
+                i, [[x0, 10 * i], [x1, 10 * i]],
+                highway=GRID_HIGHWAYS[i % 3],
+                surface=GRID_SURFACES[i % 3],
+                name=f"GH{i}",
+            )
+        )
+    for j in range(n_v):
+        x = 10 * (1 + (j * 11) % 37)
+        c = (j * 5) % 13
+        y0 = 5 + 10 * c
+        y1 = y0 + 10 * (3 + (j * 7) % 17)
+        rows.append(
+            _row(
+                1000 + j, [[x, y0], [x, y1]],
+                highway=GRID_HIGHWAYS[(j + 1) % 3],
+                surface=GRID_SURFACES[(j + 1) % 3],
+                name=f"GV{j}",
+            )
+        )
+    return spark.createDataFrame(rows, _OSM_LINE_SCHEMA)
+
+
+def grid_layer_points(spark: SparkSession, kind: str) -> DataFrame:
+    """ORACLE-CONSTRAINED facility/crossing points for the grid network:
+    coordinates are 3 (mod 10) in both axes, so the distance from any point
+    to any grid segment is never exactly on the 10 m / 30 m ST_DWithin
+    thresholds (interior projection: d = 3 or 7 mod 10; corner: d^2 = 4+9
+    mod 10 — never a multiple of 100), making the J5 counts reproducible in
+    plain SQL regardless of float noise."""
+    if kind == "facility":
+        n, mx, my = 150, 13, 17
+    elif kind == "crossing":
+        n, mx, my = 100, 19, 23
+    else:
+        raise ValueError(kind)
+    rows = [
+        (
+            m + 1,
+            wkb.encode(wkb.point(3.0 + 10 * ((m * mx) % 33), 3.0 + 10 * ((m * my) % 41))),
+        )
+        for m in range(n)
+    ]
+    schema = T.StructType(
+        [T.StructField(f"{kind}_id", T.LongType()), T.StructField("geom", T.BinaryType())]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def grid_dem(spark: SparkSession) -> DataFrame:
+    """ORACLE-CONSTRAINED DEM for the grid network: exact-decimal elevations
+    from a pure integer formula (sawtooth, so every gradient class occurs),
+    covering all grid nodes at the 10 m fixture cell."""
+    cells = np.arange(0, 46)
+    gx, gy = np.meshgrid(cells, cells)
+    pdf = pd.DataFrame(
+        {
+            "cell_x": gx.ravel().astype("int64"),
+            "cell_y": gy.ravel().astype("int64"),
+            "elevation": (((gx * 3 + gy * 7) % 25) * 2.0).ravel(),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
 # ---------------------------------------------------------------------------
 # osm_point / osm_polygon sources (for the S7 derived-layer builders)
 # ---------------------------------------------------------------------------
