@@ -97,6 +97,15 @@ def main() -> None:
     fixcache = os.environ.get(
         "SPARK_GRAFT_FIXTURE_CACHE", "/tmp/spark_graft_fixtures"
     )
+    if fixcache.lower() not in ("off", "0", ""):
+        # key the cache by the fixture GENERATOR code too, not just size
+        # knobs: after any edit to fixtures.py a stale cache would silently
+        # benchmark (and feed build_network with) outdated data
+        import hashlib
+        import inspect
+
+        src = inspect.getsource(fixtures).encode()
+        fixcache = os.path.join(fixcache, hashlib.md5(src).hexdigest()[:12])
 
     def cached_df(name, build):
         if fixcache.lower() in ("off", "0", ""):

@@ -548,10 +548,26 @@ def finalize_network(
         if scalable_ids
         else (lambda df, oc, ic: ids_op.row_number_small(df, oc, ic))
     )
+    # endpoints/length come from the split UDF's columns (gx0..gy1, glen):
+    # zero python on the build_network path.  Standalone callers passing a
+    # raw (osm_id, seg_seq, geom) table get the same endpoint-UDF fallback
+    # as drop_dangling_indoor (one Arrow pass) instead of an
+    # AnalysisException.
+    if "gx0" not in corrected.columns:
+        e = spatial.endpoints_udf()(F.col("geom"))
+        corrected = corrected.select(
+            "*", e.alias("__e")
+        ).select(
+            "*",
+            F.col("__e.x0").alias("gx0"), F.col("__e.y0").alias("gy0"),
+            F.col("__e.x1").alias("gx1"), F.col("__e.y1").alias("gy1"),
+        ).drop("__e")
+        if "glen" not in corrected.columns:
+            corrected = corrected.withColumn(
+                "glen", spatial.geom_length_udf()(F.col("geom"))
+            )
     edges = assign(corrected, ["osm_id", "seg_seq"], "edge_id")
 
-    # endpoints come from the split UDF's columns (gx0..gy1): zero python
-    # here — the node key is a native round over already-materialized doubles
     edges = edges.select(
         "*",
         F.round(F.col("gx0"), NODE_DECIMALS).alias("fx"),
@@ -599,6 +615,35 @@ def finalize_network(
 # orchestration
 # ---------------------------------------------------------------------------
 
+def _lineage_cut(df: DataFrame) -> DataFrame:
+    """EAGER LINEAGE CUT for the split result, not a persist: everything
+    downstream — the indoor fixpoint's collects, the id range-sampling and
+    partition-count jobs, the node dedup, any caller-side checkpoint —
+    launches sequential jobs over this result, and with a plain persist()
+    each of those ~8 job launches re-ANALYZES the whole deep
+    split/correction tree on the driver first (cache substitution happens
+    after analysis).  That per-job serial planning cost is independent of
+    core count and was the dominant term in the network stage's N->4N
+    scaling deficit (~52 s fixed at scale 56).  The cut replaces the plan
+    with a flat scan, so every downstream job plans in O(columns).
+
+    Durability: when ``spark.sparkContext.setCheckpointDir`` is configured
+    (any cluster deployment should set it), use RELIABLE ``checkpoint()`` —
+    recomputable from the checkpoint files after executor loss.  Without a
+    checkpoint dir fall back to ``localCheckpoint()``: executor-local
+    storage, which is free in local mode but UNRECOVERABLE on a real
+    cluster — losing an executor fails the job (there is no lineage left to
+    recompute from).  Lifecycle: both variants bypass the cache.track /
+    CACHE.release_all bookkeeping used for persist(); their storage is
+    freed when the checkpointed RDD is GC'd on the driver (ContextCleaner),
+    i.e. when the returned DataFrame goes out of scope — long sessions
+    calling build_network repeatedly rely on driver GC, not CACHE."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def build_network(
     osm_line: DataFrame,
     include_rail: bool = False,
@@ -620,21 +665,7 @@ def build_network(
     lp = link_points(init)
     inter = apply_correction_deletes(dedup_intersections(intersections(lp, cell_size)))
     targets = split_targets(inter)
-    # EAGER LINEAGE CUT, not a persist: everything downstream — the indoor
-    # fixpoint's two collects, two range-sampling jobs, two partition-count
-    # collects, the node dedup, and any caller-side checkpoint — launches
-    # sequential jobs over this result, and with a plain persist() each of
-    # those ~8 job launches re-ANALYZES the whole deep split/correction
-    # tree on the driver first (cache substitution happens after analysis).
-    # That per-job serial planning cost is independent of core count and
-    # was the dominant term in the network stage's N->4N scaling deficit
-    # (~52 s fixed at scale 56).  localCheckpoint materializes the split
-    # once and replaces the plan with a flat RDD scan, so every downstream
-    # job plans in O(columns).  Storage is executor-local (unreliable): in
-    # local mode that is free; on a real cluster an executor loss forces a
-    # stage retry from the checkpoint's parent — set spark.checkpoint.dir
-    # and swap in reliable .checkpoint() if that trade is wrong for you.
-    corrected = split_edges(init, targets).localCheckpoint()
+    corrected = _lineage_cut(split_edges(init, targets))
     # the split is materialized now — the source/init cache is dead weight
     # for the rest of this builder (finalize works off `corrected` only)
     init.unpersist()
