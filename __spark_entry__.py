@@ -1466,11 +1466,14 @@ def q_simhash_dedup(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
-def _ann_recall_verdict(spark, sf_dir, ann_fn, floor=0.5):
+def _ann_recall_verdict(spark, sf_dir, ann_fn, floor=0.75, mean_floor=0.85):
     """Per-query recall@k of an ANN method vs the exact broadcast top-k,
-    reduced to a boolean verdict the DuckDB oracle can assert (the pair set
-    itself is probe-dependent; the verdict is deterministic — fixed seeds).
-    """
+    reduced to boolean verdicts the DuckDB oracle can assert (the pair set
+    itself is probe-dependent; the verdicts are deterministic — fixed
+    seeds).  Two gates: every query's recall >= ``floor`` AND the mean
+    recall across queries >= ``mean_floor`` — measured recall is >=0.8
+    per-query / >=0.92 mean, so halving bits/tables or n_probe fails the
+    gate while deterministic-seed jitter does not."""
     from netascore_spark.operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1483,14 +1486,17 @@ def _ann_recall_verdict(spark, sf_dir, ann_fn, floor=0.5):
     hits = exact.join(ann, ["query_id", "vec_id"], "left_semi")
     n = exact.groupBy("query_id").agg(F.count("*").alias("n"))
     h = hits.groupBy("query_id").agg(F.count("*").alias("h"))
-    return (
-        n.join(h, "query_id", "left")
-        .select(
-            "query_id",
-            (F.coalesce(F.col("h"), F.lit(0)) / F.col("n") >= floor).alias(
-                "recall_pass"
-            ),
-        )
+    recalls = n.join(h, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("h"), F.lit(0)) / F.col("n")).alias("recall"),
+    )
+    mean_ok = recalls.agg(
+        (F.avg("recall") >= mean_floor).alias("mean_recall_pass")
+    )
+    return recalls.crossJoin(F.broadcast(mean_ok)).select(
+        "query_id",
+        (F.col("recall") >= floor).alias("recall_pass"),
+        "mean_recall_pass",
     )
 
 
@@ -1498,7 +1504,8 @@ def q_ann_lsh(spark, sf_dir):
     from netascore_spark.operators.similarity import lsh_ann_topk
 
     # bits=4/tables=24: measured recall@5 per query >=0.8 (mean 0.96) on the
-    # near-orthogonal gaussian driver embeddings; verdict floor 0.5
+    # near-orthogonal gaussian driver embeddings; floors 0.75/0.85 fail when
+    # tables are halved (verified) while seed-stable jitter passes
     return _ann_recall_verdict(
         spark, sf_dir,
         lambda e, q, d: lsh_ann_topk(e, q, dim=d, k=5, bits=4, tables=24),
@@ -1508,7 +1515,8 @@ def q_ann_lsh(spark, sf_dir):
 def q_ann_ivf(spark, sf_dir):
     from netascore_spark.operators.similarity import ivf_ann_topk
 
-    # n_lists=16/n_probe=8: measured recall@5 per query >=0.8 (mean 0.92)
+    # n_lists=16/n_probe=8: measured recall@5 per query >=0.8 (mean 0.92);
+    # floors 0.75/0.85 fail when n_probe is halved (verified)
     return _ann_recall_verdict(
         spark, sf_dir,
         lambda e, q, d: ivf_ann_topk(e, q, dim=d, k=5, n_lists=16, n_probe=8),
@@ -1536,7 +1544,7 @@ def q_embedding_dedup(spark, sf_dir):
 # the oracle asserts every query passes.  With fixed hyperplane/centroid
 # seeds the verdict is deterministic.
 _ANN_VERDICT_ORACLE = """
-SELECT vec_id AS query_id, true AS recall_pass
+SELECT vec_id AS query_id, true AS recall_pass, true AS mean_recall_pass
 FROM embeddings WHERE vec_id < 5
 """
 
