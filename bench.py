@@ -17,6 +17,26 @@ import sys
 import time
 
 
+def fixture_cache_dir() -> str:
+    """Fixture parquet cache root, keyed by the fixture GENERATOR code as
+    well as the per-table size knobs: after any edit to fixtures.py a stale
+    cache would silently benchmark (and feed build_network with) outdated
+    data.  Shared by bench.py and tools/profile_pages2.py.  Returns "" when
+    caching is disabled (SPARK_GRAFT_FIXTURE_CACHE=off)."""
+    fixcache = os.environ.get(
+        "SPARK_GRAFT_FIXTURE_CACHE", "/tmp/spark_graft_fixtures"
+    )
+    if fixcache.lower() in ("off", "0", ""):
+        return ""
+    import hashlib
+    import inspect
+
+    from netascore_spark.sources import fixtures
+
+    src = inspect.getsource(fixtures).encode()
+    return os.path.join(fixcache, hashlib.md5(src).hexdigest()[:12])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -94,21 +114,10 @@ def main() -> None:
     # the wall).  Cache each fixture to parquet keyed by its size knobs and
     # read it back; first run pays generation once.  Disable with
     # SPARK_GRAFT_FIXTURE_CACHE=off (or point it elsewhere).
-    fixcache = os.environ.get(
-        "SPARK_GRAFT_FIXTURE_CACHE", "/tmp/spark_graft_fixtures"
-    )
-    if fixcache.lower() not in ("off", "0", ""):
-        # key the cache by the fixture GENERATOR code too, not just size
-        # knobs: after any edit to fixtures.py a stale cache would silently
-        # benchmark (and feed build_network with) outdated data
-        import hashlib
-        import inspect
-
-        src = inspect.getsource(fixtures).encode()
-        fixcache = os.path.join(fixcache, hashlib.md5(src).hexdigest()[:12])
+    fixcache = fixture_cache_dir()
 
     def cached_df(name, build):
-        if fixcache.lower() in ("off", "0", ""):
+        if not fixcache:
             return build()
         path = os.path.join(fixcache, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):

@@ -169,6 +169,96 @@ def join_polygons(
 # cell-ring kNN to nearest road segment
 # ---------------------------------------------------------------------------
 
+def _phase1_topk(
+    pages_geo: DataFrame,
+    k: int,
+    p1: float,
+    cell_size: float,
+    salt_threshold,
+    geom_strategy: str,
+    segs_base: DataFrame,
+    hot: list,
+) -> DataFrame:
+    """Fused phase 1 of the progressive kNN: LEFT candidate join at the
+    small pad + ONE aggregation returning per url
+
+      (url, top: array<struct<dist, edge_id>> | NULL, px, py, cell)
+
+    ``top`` is the phase-1 top-k (NULL when no candidate within ``p1``);
+    the page coords ride through the aggregate (min over a constant), so
+    the caller can split resolved/unresolved and feed phase 2 WITHOUT any
+    join back to the pages table.  Same candidate machinery as the flat
+    search (cover, salting, strategy hints, explicit join width)."""
+    pg = pages_geo.filter(F.col("x").isNotNull()).select(
+        "url", F.col("x").alias("px"), F.col("y").alias("py"), "cell"
+    )
+    segs = spatial.segment_cover(segs_base, p1, cell_size)
+    join_key = "cell"
+    cell_col = "cell"
+    if hot:
+        pg, segs = spatial.salt_cells(pg, segs, hot)
+        join_key = "cell_salt"
+        # both sides keep a `cell` column when joining on cell_salt; the
+        # carry-through below must reference the PAGE side unambiguously
+        pg = pg.withColumnRenamed("cell", "__pcell")
+        cell_col = "__pcell"
+    if geom_strategy == "broadcast":
+        segs = F.broadcast(segs)
+    elif geom_strategy == "join":
+        segs = segs.hint("shuffle_hash")
+    else:
+        raise ValueError(f"unknown geom_strategy {geom_strategy!r}")
+    if geom_strategy != "broadcast" and os.environ.get("SPARK_GRAFT_KNN_PIN", "1") != "0":
+        n_parts = 2 * pg.sparkSession.sparkContext.defaultParallelism
+        pg = pg.repartition(n_parts, join_key)
+    cand = pg.join(segs, join_key, "left")
+    scored = cand.withColumn("dist", spatial.point_segment_dist_expr())
+    valid = F.col("dist").isNotNull() & (F.col("dist") <= F.lit(p1))
+    carry = [
+        F.min("px").alias("px"), F.min("py").alias("py"),
+        F.min(cell_col).alias("cell"),
+    ]
+    if k == 1:
+        # constant-state partial aggregation (same min(struct) as the flat
+        # k=1 path); nulls (invalid / no-candidate rows) are ignored by min
+        aggd = scored.groupBy("url").agg(
+            F.min(F.when(valid, F.struct("dist", "edge_id"))).alias("m"),
+            *carry,
+        )
+        return aggd.select(
+            "url",
+            F.when(F.col("m").isNotNull(), F.array("m")).alias("top"),
+            "px", "py", "cell",
+        )
+    # 2..8: per-(url, edge) line distance first (an edge's segments must
+    # fold into ONE top-k slot), then the array_sort+slice aggregation
+    per_edge = scored.groupBy("url", "edge_id").agg(
+        F.min(F.when(valid, F.col("dist"))).alias("dist"), *carry
+    )
+    topk = per_edge.groupBy("url").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("dist").isNotNull(),
+                        F.struct("dist", "edge_id"),
+                    )
+                )
+            ),
+            1, k,
+        ).alias("top"),
+        # per_edge already re-aliased the carry columns to px/py/cell
+        F.min("px").alias("px"), F.min("py").alias("py"),
+        F.min("cell").alias("cell"),
+    )
+    # collect_list over an all-null group yields [] — normalize to NULL so
+    # the caller's size()/element_at() verdict treats both alike
+    return topk.select(
+        "url",
+        F.when(F.size("top") > 0, F.col("top")).alias("top"),
+        "px", "py", "cell",
+    )
+
 # Edge tables at or below this count may broadcast their exploded segment
 # cover (7 numeric columns per covered cell) to every executor; anything
 # bigger MUST use the distributed cell join.
@@ -234,10 +324,55 @@ def nearest_edges(
             hot = spatial.hot_cells(
                 pages_geo.filter(F.col("x").isNotNull()), "cell", thr
             )
-        # persist phase 1: it feeds THREE consumers (the kth aggregate, the
-        # resolved semi-join, and — through final_urls — the unresolved
-        # anti-join); uncached it would recompute the whole phase-1 join per
-        # consumer
+        if geom_strategy == "auto":
+            # resolve once for BOTH phases (one bounded count, not two)
+            n_bounded = edges.select("edge_id").limit(BROADCAST_MAX_EDGES + 1).count()
+            geom_strategy = (
+                "broadcast" if n_bounded <= BROADCAST_MAX_EDGES else "join"
+            )
+        if k <= 8:
+            # FUSED phase 1 (the round-4 profile showed ~19 s of serial
+            # residue spread over the stage chain phase1 -> kth aggregate ->
+            # final_urls persist -> semi-join -> anti-join): a LEFT candidate
+            # join + ONE aggregation computes the per-url top-k, the
+            # resolution verdict AND carries the page coords — the old kth
+            # shuffle, the final_urls materialization and BOTH url-joins
+            # over the full pages table are gone.  Every page keeps a row
+            # (left join), so "no candidate in the p1 cover" and
+            # "kth > p1" both fall out of the same aggregate.
+            agg = cache.track(
+                _phase1_topk(
+                    pages_geo, k, p1, cell_size, salt_threshold,
+                    geom_strategy, segs_base, hot,
+                ).persist()
+            )
+            # resolution on the ROUNDED kth distance — identical to the
+            # previous phase1-output comparison (its dist column was
+            # rounded).  coalesce: a page with NO phase-1 candidate has a
+            # NULL top (size/element_at propagate NULL) and must land in
+            # the UNRESOLVED branch, not vanish from both filters.
+            kth_dist = F.round(F.element_at(F.col("top"), k)["dist"], 6)
+            is_final = F.coalesce(
+                (F.size("top") >= k) & (kth_dist <= F.lit(p1)), F.lit(False)
+            )
+            resolved = agg.filter(is_final).select(
+                "url", F.posexplode("top").alias("pos", "t")
+            ).select(
+                "url",
+                F.col("t.edge_id").alias("edge_id"),
+                F.round(F.col("t.dist"), 6).alias("dist"),
+                (F.col("pos") + 1).cast("int").alias("rank"),
+            )
+            unresolved_pages = agg.filter(~is_final).select(
+                "url", F.col("px").alias("x"), F.col("py").alias("y"), "cell"
+            )
+            rest = nearest_edges(
+                unresolved_pages, edges, k, radius, cell_size, salt_threshold,
+                progressive=False, geom_strategy=geom_strategy,
+                _segs=segs_base, _hot=hot,
+            )
+            return resolved.unionByName(rest)
+        # k > 8 (window-ranked top-k): the original three-step resolve
         phase1 = cache.track(
             nearest_edges(
                 pages_geo, edges, k, p1, cell_size, salt_threshold,

@@ -21,9 +21,9 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
     scale = int(os.environ.get("SPARK_GRAFT_OSM_SCALE", "56"))
-    fixcache = os.environ.get(
-        "SPARK_GRAFT_FIXTURE_CACHE", "/tmp/spark_graft_fixtures"
-    )
+    from bench import fixture_cache_dir
+
+    fixcache = fixture_cache_dir()
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     from pyspark.sql import functions as F
