@@ -98,11 +98,28 @@ def main() -> None:
     # this runs on oscillates between nominal and ~14x-degraded CPU; see
     # tools/scaling_gated2.py)
     windows: dict[str, list[float]] = {}
+    # GATE PROVENANCE stamped into the output: a single-thread canary runs
+    # at every query BOUNDARY (Spark idle there, so uncontended even at 32
+    # cores).  A query bracketed by two nominal canaries is very unlikely to
+    # have spanned a degraded-host window; ones that aren't are listed in
+    # "canary_degraded_boundaries" so a reader never mistakes host noise for
+    # a regression (the round-4 headline read 129 s vs the gated 62 s for
+    # exactly this reason).  Threshold matches tools/scaling_gated2.NOMINAL_S.
+    canary_nominal_s = 1.75
+    boundary_canaries: list[float] = []
+
+    def canary() -> float:
+        t0 = time.time()
+        [pow(3, 7, 11) for _ in range(10**7)]
+        return time.time() - t0
 
     def timed(name, fn):
+        if not boundary_canaries:
+            boundary_canaries.append(round(canary(), 2))
         t0 = time.time()
         out = fn()
         t1 = time.time()
+        boundary_canaries.append(round(canary(), 2))
         timings[name] = round(t1 - t0, 3)
         windows[name] = [round(t0, 2), round(t1, 2)]
         return out
@@ -258,8 +275,22 @@ def main() -> None:
             t1 = time.time()
             runs.append((t1 - t0, t0, t1))
         best = min(runs)
+        boundary_canaries.append(round(canary(), 2))
         timings[name] = round(best[0], 3)
         windows[name] = [round(best[1], 2), round(best[2], 2)]
+
+    # queries whose bracketing canaries weren't both nominal: host
+    # degradation during their window cannot be ruled out
+    ordered = list(timings)
+    degraded = [
+        q
+        for i, q in enumerate(ordered)
+        if i + 1 < len(boundary_canaries)
+        and (
+            boundary_canaries[i] > canary_nominal_s
+            or boundary_canaries[i + 1] > canary_nominal_s
+        )
+    ]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -276,6 +307,12 @@ def main() -> None:
                 "pages_per_sec": pages_sec,
                 "edges_per_sec": edges_sec,
                 "windows": windows,
+                "gate": "boundary canaries (see tools/scaling_gated2.py "
+                        "for the fully gated legs)",
+                "canary_nominal_s": canary_nominal_s,
+                "boundary_canaries": boundary_canaries,
+                "canary_worst_s": max(boundary_canaries),
+                "canary_degraded_boundaries": degraded,
             }
         )
     )
