@@ -24,32 +24,92 @@ import sys
 import tempfile
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
 ))
 
 
-def _build(path: str, n: int) -> dict:
-    from test_osmpbf import _write_pbf
+def _mix64(x: "np.ndarray") -> "np.ndarray":
+    """splitmix64 finalizer, vectorized (public-domain constant set)."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
 
-    # hash-scattered coordinates: consecutive deltas are large random
-    # varints zlib can't crush, so bytes/node resembles a dense mixed
-    # extract rather than a perfectly smooth (over-compressible) grid
-    nodes = []
-    ways = []
+
+def _build(path: str, n: int) -> dict:
+    """Stream a multi-blob PBF: node blobs then way blobs, ~400k
+    primitives per OSMData blob (real extracts cap blobs at 16-32 MB raw;
+    the tests' single-blob _write_pbf is O(ways^2) on bytes-concat and
+    O(file) in memory — unusable at >=100 MB)."""
+    import struct
+    import zlib
+
+    from test_osmpbf import _delta_s, _ld, _packed, _uv, _vi
+
+    def blob(fh, btype: str, payload: bytes) -> None:
+        z = zlib.compress(payload)
+        b = _vi(2, len(payload)) + _ld(3, z)
+        header = _ld(1, btype.encode()) + _vi(3, len(b))
+        fh.write(struct.pack(">I", len(header)) + header + b)
+
+    def block(strings: list[bytes], group: bytes) -> bytes:
+        table = _ld(1, b"".join(_ld(1, x) for x in strings))
+        return table + _ld(2, group) + _vi(17, 100)  # granularity=100
+
     side = int(n ** 0.5) or 1
-    for nid in range(1, n + 1):
-        lat = ((nid * 2654435761) % (170 * 10**7)) * 1e-7 - 85.0
-        lon = ((nid * 2246822519) % (350 * 10**7)) * 1e-7 - 175.0
-        nodes.append((nid, lat, lon, {}))
-    for w in range(n // side):
-        refs = list(range(1 + w * side, 1 + min((w + 1) * side, n)))
-        if len(refs) >= 2:
-            ways.append((100000000 + w, refs,
-                         {"highway": "residential", "name": f"w{w}"}))
-    _write_pbf(path, nodes, ways, granularity=100)
-    return {"nodes": len(nodes), "ways": len(ways)}
+    n_ways = 0
+    chunk = 400_000
+    with open(path, "wb") as fh:
+        blob(fh, "OSMHeader",
+             _ld(4, b"OsmSchema-V0.6") + _ld(4, b"DenseNodes"))
+        # splitmix64-scattered coordinates: a pure multiplicative hash of
+        # CONSECUTIVE ids has a near-constant delta which zlib crushes to
+        # ~0.13 bytes/node; full avalanche makes the delta stream
+        # incompressible, so bytes/node resembles a dense mixed extract
+        for lo in range(1, n + 1, chunk):
+            ids = np.arange(lo, min(lo + chunk, n + 1), dtype=np.uint64)
+            hlat = _mix64(ids)
+            hlon = _mix64(ids ^ np.uint64(0x9E3779B97F4A7C15))
+            # granularity=100: stored unit is 100 nanodeg = degrees * 1e7
+            lats = [int(v) for v in
+                    (hlat % np.uint64(1_700_000_000)).astype(np.int64)
+                    - 850_000_000]
+            lons = [int(v) for v in
+                    (hlon % np.uint64(3_500_000_000)).astype(np.int64)
+                    - 1_750_000_000]
+            ids = [int(v) for v in ids]
+            dense = (_packed(1, _delta_s(ids))
+                     + _packed(8, _delta_s(lats))
+                     + _packed(9, _delta_s(lons))
+                     + _packed(10, [_uv(0)] * len(ids)))
+            blob(fh, "OSMData", block([b""], _ld(2, dense)))
+        for wlo in range(0, n // side, 4000):
+            strings = [b"", b"highway", b"residential", b"name"]
+            sidx = {b: i for i, b in enumerate(strings)}
+            parts = []
+            for w in range(wlo, min(wlo + 4000, n // side)):
+                refs = range(1 + w * side, 1 + min((w + 1) * side, n))
+                if len(refs) < 2:
+                    continue
+                name = f"w{w}".encode()
+                if name not in sidx:
+                    sidx[name] = len(strings)
+                    strings.append(name)
+                way = (_vi(1, 100000000 + w)
+                       + _packed(2, [_uv(1), _uv(3)])
+                       + _packed(3, [_uv(2), _uv(sidx[name])])
+                       + _packed(8, _delta_s(list(refs))))
+                parts.append(_ld(3, way))
+                n_ways += 1
+            if parts:
+                blob(fh, "OSMData", block(strings, b"".join(parts)))
+    return {"nodes": n, "ways": n_ways}
 
 
 def generate(path: str, target_mb: int) -> dict:
