@@ -833,12 +833,12 @@ def q_text_stats(spark, sf_dir):
 _TEXT_STATS_ORACLE = r"""
 SELECT doc_id,
     CASE WHEN trim(text) = '' THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) END AS n_tokens,
     md5(text) AS fingerprint,
     round(0.6 * least(length(text) / 500.0, 1.0)
         + 0.4 * (CASE WHEN length(text)::DOUBLE / greatest(
               CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
+                   ELSE len(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) END, 1)
               BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END), 4) AS quality
 FROM documents
 """
@@ -856,7 +856,7 @@ def _lang_hits_sql(lang: str) -> str:
                       __import__("netascore_spark.operators.textstats",
                                  fromlist=["STOPWORDS"]).STOPWORDS[lang])
     return (
-        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+'),"
         f" t -> t IN ({words})))"
     )
 
@@ -947,7 +947,7 @@ def q_ngram_dedup(spark, sf_dir):
 
 _NGRAM_ORACLE = r"""
 WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+') AS t
     FROM documents
 ), sh AS (
     SELECT doc_id,
@@ -2139,7 +2139,7 @@ _MD5_LE = (
 
 _SHINGLE_CTE = f"""
 WITH toksrc AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS toks
   FROM documents
 ),
 sh AS (

@@ -18,7 +18,10 @@ STOPWORDS = {
     "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
 }
 
-TOKEN_SPLIT = "\\s+"
+# explicit class, not \s: Java's \s includes \x0B (vertical tab) while
+# DuckDB/RE2's does not — the oracle uses the same literal class so a
+# VT-containing document tokenizes identically in engine and oracle.
+TOKEN_SPLIT = "[ \\t\\n\\f\\r]+"
 
 
 def tokens(text: Column) -> Column:

@@ -378,7 +378,18 @@ def split_edges(net_init: DataFrame, targets: DataFrame) -> DataFrame:
     anti-join pair — halves the probe passes over the (big) edge side.
     """
     passthrough = [c for c in net_init.columns if c != "geom"]
-    joined = spatial.spread(net_init.join(targets, "osm_id", "left"))
+    # pin the JOIN width too: both osm_id shuffles are sub-advisory in
+    # bytes, so AQE's size-based coalescing read them as ONE task
+    # (measured: 9.7 s single-task stage at 400k edges — the whole join +
+    # probe serialized regardless of core count).  Explicit same-key
+    # same-count repartitions co-partition the join (no extra shuffle) and
+    # are exempt from coalescing.
+    n_part = int(net_init.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    joined = spatial.spread(
+        net_init.repartition(n_part, "osm_id").join(
+            targets.repartition(n_part, "osm_id"), "osm_id", "left"
+        )
+    )
     split = joined.withColumn(
         "pieces", _split_pieces(F.col("geom"), F.col("split_points"))
     ).drop("geom", "split_points")
@@ -396,7 +407,6 @@ def split_edges(net_init: DataFrame, targets: DataFrame) -> DataFrame:
     # UNION (dedup) semantics of osm_network.sql.j2:241; width pinned (the
     # post-split rows are sub-advisory in bytes but number |edges| — the
     # coalesced single-task final agg measured 25 s at 400k edges)
-    n_part = int(net_init.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return out.repartition(n_part, "osm_id", "seg_seq", "geom").dropDuplicates(
         ["osm_id", "seg_seq", "geom"]
     )
@@ -590,6 +600,15 @@ def finalize_network(
         .distinct()
     )
     nodes = assign(nodes, ["x", "y"], "node_id")
+    # EAGER cut, nodes-first: the from/to joins below embed the whole node
+    # derivation (endpoint union + distinct + id sampling) inside the edges
+    # plan, so a caller that materializes edges and THEN nodes (the normal
+    # build_network consumer) would compute the node table twice — once
+    # inside the edges join, once for nodes itself — plus re-analyze the
+    # deep plan on every downstream job.  Cutting here materializes nodes
+    # exactly once (through the edges persist above, which the later edges
+    # materialization reuses) and the joins plan over a flat scan.
+    nodes = _lineage_cut(nodes)
 
     from_n = nodes.select(
         F.col("node_id").alias("from_node"), F.col("x").alias("fx"), F.col("y").alias("fy")
