@@ -249,7 +249,7 @@ def main() -> None:
         assert pg.filter(~F.col("__ok")).count() == 0, "byte-identity violated"
         pip = PG.join_polygons(pg, fixtures.admin_polygons(spark))
         n_pip = pip.count()
-        nn = PG.nearest_edges(pg, edges, k=1, radius=500.0)
+        nn = PG.nearest_edges(pg, edges, k=1, radius=500.0, carry=("lang",))
         agg = PG.page_edge_attributes(nn, pg)
         n_agg = agg.count()
         pg.unpersist()

@@ -178,19 +178,22 @@ def _phase1_topk(
     geom_strategy: str,
     segs_base: DataFrame,
     hot: list,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Fused phase 1 of the progressive kNN: LEFT candidate join at the
     small pad + ONE aggregation returning per url
 
-      (url, top: array<struct<dist, edge_id>> | NULL, px, py, cell)
+      (url, top: array<struct<dist, edge_id>> | NULL, px, py, cell, *carry)
 
     ``top`` is the phase-1 top-k (NULL when no candidate within ``p1``);
-    the page coords ride through the aggregate (min over a constant), so
-    the caller can split resolved/unresolved and feed phase 2 WITHOUT any
-    join back to the pages table.  Same candidate machinery as the flat
-    search (cover, salting, strategy hints, explicit join width)."""
+    the page coords (and any ``carry_cols``) ride through the aggregate
+    (min over a per-url constant), so the caller can split resolved/
+    unresolved and feed phase 2 WITHOUT any join back to the pages table.
+    Same candidate machinery as the flat search (cover, salting, strategy
+    hints, explicit join width)."""
     pg = pages_geo.filter(F.col("x").isNotNull()).select(
-        "url", F.col("x").alias("px"), F.col("y").alias("py"), "cell"
+        "url", F.col("x").alias("px"), F.col("y").alias("py"), "cell",
+        *carry_cols,
     )
     segs = spatial.segment_cover(segs_base, p1, cell_size)
     join_key = "cell"
@@ -217,6 +220,7 @@ def _phase1_topk(
     carry = [
         F.min("px").alias("px"), F.min("py").alias("py"),
         F.min(cell_col).alias("cell"),
+        *[F.min(c).alias(c) for c in carry_cols],
     ]
     if k == 1:
         # constant-state partial aggregation (same min(struct) as the flat
@@ -228,7 +232,7 @@ def _phase1_topk(
         return aggd.select(
             "url",
             F.when(F.col("m").isNotNull(), F.array("m")).alias("top"),
-            "px", "py", "cell",
+            "px", "py", "cell", *carry_cols,
         )
     # 2..8: per-(url, edge) line distance first (an edge's segments must
     # fold into ONE top-k slot), then the array_sort+slice aggregation
@@ -250,13 +254,14 @@ def _phase1_topk(
         # per_edge already re-aliased the carry columns to px/py/cell
         F.min("px").alias("px"), F.min("py").alias("py"),
         F.min("cell").alias("cell"),
+        *[F.min(c).alias(c) for c in carry_cols],
     )
     # collect_list over an all-null group yields [] — normalize to NULL so
     # the caller's size()/element_at() verdict treats both alike
     return topk.select(
         "url",
         F.when(F.size("top") > 0, F.col("top")).alias("top"),
-        "px", "py", "cell",
+        "px", "py", "cell", *carry_cols,
     )
 
 # Edge tables at or below this count may broadcast their exploded segment
@@ -280,10 +285,21 @@ def nearest_edges(
     salt_threshold: int | str | None = "auto",
     progressive: bool = True,
     geom_strategy: str = "join",
+    carry: tuple = (),
     _segs: DataFrame | None = None,
     _hot: list | None = None,
+    _cells: DataFrame | None = None,
 ) -> DataFrame:
-    """(url, edge_id, dist, rank<=k) for edges within ``radius``.
+    """(url, edge_id, dist, rank<=k, *carry) for edges within ``radius``.
+
+    ``carry``: names of extra ``pages_geo`` columns (per-url constants,
+    e.g. ``("lang",)``) to thread through the search and return alongside
+    each (url, edge) row.  They ride the existing aggregations as
+    ``min()`` over a constant — a few bytes per page in the slim cell
+    shuffle — so downstream per-edge aggregations (page_edge_attributes)
+    need NO url-join back to the pages table (measured: that join
+    shuffled ~320 MB at 2.4M pages, the single largest shuffle of the
+    pages stage).
 
     ``geom_strategy`` controls how the page side meets the edge segments:
 
@@ -343,7 +359,7 @@ def nearest_edges(
             agg = cache.track(
                 _phase1_topk(
                     pages_geo, k, p1, cell_size, salt_threshold,
-                    geom_strategy, segs_base, hot,
+                    geom_strategy, segs_base, hot, carry,
                 ).persist()
             )
             # resolution on the ROUNDED kth distance — identical to the
@@ -356,27 +372,30 @@ def nearest_edges(
                 (F.size("top") >= k) & (kth_dist <= F.lit(p1)), F.lit(False)
             )
             resolved = agg.filter(is_final).select(
-                "url", F.posexplode("top").alias("pos", "t")
+                "url", F.posexplode("top").alias("pos", "t"), *carry
             ).select(
                 "url",
                 F.col("t.edge_id").alias("edge_id"),
                 F.round(F.col("t.dist"), 6).alias("dist"),
                 (F.col("pos") + 1).cast("int").alias("rank"),
+                *carry,
             )
             unresolved_pages = agg.filter(~is_final).select(
-                "url", F.col("px").alias("x"), F.col("py").alias("y"), "cell"
+                "url", F.col("px").alias("x"), F.col("py").alias("y"), "cell",
+                *carry,
             )
             rest = nearest_edges(
                 unresolved_pages, edges, k, radius, cell_size, salt_threshold,
-                progressive=False, geom_strategy=geom_strategy,
+                progressive=False, geom_strategy=geom_strategy, carry=carry,
                 _segs=segs_base, _hot=hot,
+                _cells=unresolved_pages.select("cell").distinct(),
             )
             return resolved.unionByName(rest)
         # k > 8 (window-ranked top-k): the original three-step resolve
         phase1 = cache.track(
             nearest_edges(
                 pages_geo, edges, k, p1, cell_size, salt_threshold,
-                progressive=False, geom_strategy=geom_strategy,
+                progressive=False, geom_strategy=geom_strategy, carry=carry,
                 _segs=segs_base, _hot=hot,
             ).persist()
         )
@@ -392,8 +411,9 @@ def nearest_edges(
         unresolved_pages = pages_geo.join(final_urls, "url", "left_anti")
         rest = nearest_edges(
             unresolved_pages, edges, k, radius, cell_size, salt_threshold,
-            progressive=False, geom_strategy=geom_strategy,
+            progressive=False, geom_strategy=geom_strategy, carry=carry,
             _segs=segs_base, _hot=hot,
+            _cells=unresolved_pages.select("cell").distinct(),
         )
         return resolved.unionByName(rest)
     # pad the EDGE side (the far smaller cover): each page keeps its single
@@ -406,12 +426,23 @@ def nearest_edges(
     # term-for-term ops.points_line_dist, so distances are bit-identical to
     # the former pandas refine).
     pg = pages_geo.filter(F.col("x").isNotNull()).select(
-        "url", F.col("x").alias("px"), F.col("y").alias("py"), "cell"
+        "url", F.col("x").alias("px"), F.col("y").alias("py"), "cell", *carry
     )
     segs = spatial.segment_cover(
         _segs if _segs is not None else spatial.explode_segments(edges, "edge_id"),
         radius, cell_size,
     )
+    if _cells is not None:
+        # phase-2 'rest' search: the full-radius cover explodes EVERY edge
+        # segment to ~(2r/cell+1)^2 cells, but only the (typically few)
+        # unresolved pages' cells can ever match the equi-join — a
+        # broadcast semi-join on the page cells drops the irrelevant cover
+        # rows map-side, before the shuffle-hash build (measured: the rest
+        # stage was dominated by the 400k-edge x 36-cell cover, not by the
+        # unresolved pages).  Exactly result-preserving: an equi-join row
+        # needs a page with that cell.  Applied pre-salting (page cells are
+        # raw cells; salt replication happens after).
+        segs = segs.join(F.broadcast(_cells), "cell", "left_semi")
 
     if geom_strategy == "auto":
         n_bounded = edges.select("edge_id").limit(BROADCAST_MAX_EDGES + 1).count()
@@ -472,15 +503,21 @@ def nearest_edges(
         # nearest-only: min(struct(dist, edge_id)) aggregates map-side
         # (partial combine) — no full window shuffle+sort.  struct ordering
         # matches the window tie-break (dist asc, edge_id asc).
-        best = scored.groupBy("url").agg(F.min(F.struct("dist", "edge_id")).alias("m"))
+        best = scored.groupBy("url").agg(
+            F.min(F.struct("dist", "edge_id")).alias("m"),
+            *[F.min(c).alias(c) for c in carry],
+        )
         return best.select(
             "url",
             F.col("m.edge_id").alias("edge_id"),
             F.round(F.col("m.dist"), 6).alias("dist"),
             F.lit(1).alias("rank"),
+            *carry,
         )
     # k>1: collapse segments to per-(url, edge) line distance, then rank
-    per_edge = scored.groupBy("url", "edge_id").agg(F.min("dist").alias("dist"))
+    per_edge = scored.groupBy("url", "edge_id").agg(
+        F.min("dist").alias("dist"), *[F.min(c).alias(c) for c in carry]
+    )
     if k <= 8:
         # small-k: array_sort(collect_list)+slice aggregation instead of a
         # per-url window — partial (map-side) aggregation, no full
@@ -490,21 +527,26 @@ def nearest_edges(
         topk = per_edge.groupBy("url").agg(
             F.slice(
                 F.array_sort(F.collect_list(F.struct("dist", "edge_id"))), 1, k
-            ).alias("top")
+            ).alias("top"),
+            *[F.min(c).alias(c) for c in carry],
         )
         return topk.select(
-            "url", F.posexplode("top").alias("pos", "t")
+            "url", F.posexplode("top").alias("pos", "t"), *carry
         ).select(
             "url",
             F.col("t.edge_id").alias("edge_id"),
             F.round(F.col("t.dist"), 6).alias("dist"),
             (F.col("pos") + 1).cast("int").alias("rank"),
+            *carry,
         )
     w = Window.partitionBy("url").orderBy(F.col("dist").asc(), F.col("edge_id").asc())
     return (
         per_edge.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("url", "edge_id", F.round(F.col("dist"), 6).alias("dist"), "rank")
+        .select(
+            "url", "edge_id", F.round(F.col("dist"), 6).alias("dist"), "rank",
+            *carry,
+        )
     )
 
 
@@ -514,10 +556,17 @@ def nearest_edges(
 
 def page_edge_attributes(page_edges: DataFrame, pages_geo: DataFrame) -> DataFrame:
     """Aggregate page mass per edge: count + language histogram (the grafted
-    'attribute mass' the north star attaches to segments)."""
-    joined = page_edges.filter(F.col("rank") == 1).join(
-        pages_geo.select("url", "lang"), "url"
-    )
+    'attribute mass' the north star attaches to segments).
+
+    When ``page_edges`` already carries ``lang`` (nearest_edges called with
+    ``carry=("lang",)``), the url-join back to the pages table is skipped —
+    at 2.4M pages that join shuffled ~320 MB (both sides keyed on url); the
+    carried column rides the existing aggregations for a few bytes/page."""
+    nearest = page_edges.filter(F.col("rank") == 1)
+    if "lang" in page_edges.columns:
+        joined = nearest
+    else:
+        joined = nearest.join(pages_geo.select("url", "lang"), "url")
     return joined.groupBy("edge_id").agg(
         F.count("*").alias("page_count"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pages_en"),

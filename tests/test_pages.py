@@ -133,6 +133,48 @@ def test_page_edge_attributes(spark, pages_extracted):
     assert total == nn.filter(F.col("rank") == 1).count()
 
 
+def test_carry_column_equals_join(spark, pages_extracted):
+    """carry=("lang",) must reproduce the url-join exactly — same (url,
+    edge_id, dist, rank) rows with the page's own lang attached — at k=1
+    (fused progressive), k=3 (array-agg) and k=9 (window), and
+    page_edge_attributes must give identical per-edge aggregates while its
+    plan shows NO join (the carried column replaces the ~320 MB url
+    shuffle at bench scale)."""
+    osm = fixtures.osm_lines(spark, scale=1)
+    edges, _ = N.build_network(osm)
+    edges = edges.localCheckpoint()
+    for k in (1, 3, 9):
+        plain = P.nearest_edges(pages_extracted, edges, k=k, radius=500.0)
+        carried = P.nearest_edges(
+            pages_extracted, edges, k=k, radius=500.0, carry=("lang",)
+        )
+        expect = {
+            (r["url"], r["rank"]): (r["edge_id"], r["dist"], r["lang"])
+            for r in plain.join(
+                pages_extracted.select("url", "lang"), "url"
+            ).collect()
+        }
+        got = {
+            (r["url"], r["rank"]): (r["edge_id"], r["dist"], r["lang"])
+            for r in carried.collect()
+        }
+        assert got == expect, f"carry mismatch at k={k}"
+    nn = P.nearest_edges(
+        pages_extracted, edges, k=1, radius=500.0, carry=("lang",)
+    )
+    agg = P.page_edge_attributes(nn, pages_extracted)
+    # the kNN's own cell join remains; page_edge_attributes must add NO
+    # url-join on top of it
+    n_joins = lambda df: df._jdf.queryExecution().optimizedPlan().toString().count("Join ")
+    assert n_joins(agg) == n_joins(nn)
+    nn0 = P.nearest_edges(pages_extracted, edges, k=1, radius=500.0)
+    agg0 = P.page_edge_attributes(nn0, pages_extracted)
+    key = lambda r: r["edge_id"]
+    assert sorted(map(tuple, agg.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, agg0.collect()), key=lambda t: t[0]
+    )
+
+
 def test_nearest_edges_join_equals_broadcast(spark, pages_extracted):
     # the distributed edge_id-join geometry path (100 TB default) must be
     # result-identical to the small-table broadcast fast path

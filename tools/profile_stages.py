@@ -1,8 +1,10 @@
 """Stage-level timeline of the network build from the Spark event log.
 
-Usage: python tools/profile_stages.py [cpus] [scale]
+Usage: python tools/profile_stages.py [cpus] [scale] [job]
+  job: "network" (default) or "pages" (bench.py's run_pages path,
+  [scale] then reads as n_pages, e.g. 2400000)
 
-Runs build_network exactly as bench.py does (cached parquet fixture,
+Runs the job exactly as bench.py does (cached parquet fixture,
 localCheckpoint'ed outputs) with the event log enabled, then prints every
 stage's wall window, task count and task-time sum — the data needed to
 attribute Amdahl serial residue to specific stages (1-2 task stages, gaps
@@ -23,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     cpus = sys.argv[1] if len(sys.argv) > 1 else "2"
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 56
+    job = sys.argv[3] if len(sys.argv) > 3 else "network"
 
     evdir = "/tmp/spark_events_profile"
     shutil.rmtree(evdir, ignore_errors=True)
@@ -39,6 +42,9 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            # mirror bench.py's scan parallelism
+            "spark.sql.files.maxPartitionBytes": str(16 << 20),
+            "spark.sql.files.openCostInBytes": str(1 << 20),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -48,7 +54,8 @@ def main() -> None:
     import bench
 
     fixcache = bench.fixture_cache_dir()
-    path = os.path.join(fixcache, f"osm_scale{scale}")
+    osm_scale = 56 if job == "pages" else scale
+    path = os.path.join(fixcache, f"osm_scale{osm_scale}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         osm = spark.read.parquet(path)
         if osm.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
@@ -56,15 +63,44 @@ def main() -> None:
     else:
         from netascore_spark.sources import fixtures
 
-        osm = fixtures.osm_lines(spark, scale=scale)
+        osm = fixtures.osm_lines(spark, scale=osm_scale)
 
-    t0 = time.time()
-    e, n = N.build_network(osm, scalable_ids=True)
-    e = e.localCheckpoint()
-    n = n.localCheckpoint()
-    ne = e.count()
-    wall = time.time() - t0
-    print(f"network_build wall: {wall:.1f}s edges={ne}", flush=True)
+    if job == "pages":
+        from pyspark.sql import functions as F
+
+        from netascore_spark.pipeline import pages as PG
+        from netascore_spark.sources import fixtures
+
+        e, _ = N.build_network(osm, scalable_ids=True)
+        edges = e.localCheckpoint()
+        edges.count()
+        n_pages = scale if scale > 1000 else 2_400_000
+        pg_raw = spark.read.parquet(os.path.join(fixcache, f"pages_{n_pages}"))
+        pg_raw.count()
+        t0 = time.time()
+        pg = (
+            PG.extract_pages(pg_raw)
+            .withColumn("__ok", F.col("extracted_text").eqNullSafe(F.col("text")))
+            .select("url", "warc_ts", "lang", "x", "y", "cell", "__ok")
+            .persist()
+        )
+        assert pg.filter(~F.col("__ok")).count() == 0
+        pip = PG.join_polygons(pg, fixtures.admin_polygons(spark))
+        n_pip = pip.count()
+        nn = PG.nearest_edges(pg, edges, k=1, radius=500.0, carry=("lang",))
+        agg = PG.page_edge_attributes(nn, pg)
+        n_agg = agg.count()
+        pg.unpersist()
+        wall = time.time() - t0
+        print(f"pages wall: {wall:.1f}s pip={n_pip} agg={n_agg}", flush=True)
+    else:
+        t0 = time.time()
+        e, n = N.build_network(osm, scalable_ids=True)
+        e = e.localCheckpoint()
+        n = n.localCheckpoint()
+        ne = e.count()
+        wall = time.time() - t0
+        print(f"network_build wall: {wall:.1f}s edges={ne}", flush=True)
     spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
     app_id = spark.sparkContext.applicationId
     spark.stop()
@@ -110,6 +146,9 @@ def main() -> None:
                     "sec": round((com - sub) / 1000.0, 2),
                 }
             )
+    # drop setup stages (network build / cache warm) that precede the
+    # measured window in pages mode
+    stages = [s for s in stages if s["t1"] >= t0]
     stages.sort(key=lambda s: s["t0"])
     if not stages:
         print("no stages parsed")
