@@ -4,26 +4,43 @@ The reference assigns identity with ``row_number() OVER (ORDER BY ...)``
 (osm_network.sql.j2:133,268,312,342).  A naive Spark ``Window.orderBy``
 without partitioning funnels everything through ONE task — fatal at 100 TB.
 
-``assign_ids`` is the scale path: range-repartition by the order key, sort
-within partitions, count rows per partition (one light aggregate), then add
-``offset + local_index`` per partition via ``mapInPandas``.  The result is
-identical to a global row_number as long as the order key is a total order
-(ties across partition boundaries would otherwise make ids depend on
+``assign_ids`` is the scale path, and it is ONE LAZY PLAN (no collect, no
+persist, no Python): range-repartition by the order key, sort within
+partitions, read (partition id, local index) off
+``monotonically_increasing_id`` (pid in the upper bits, the within-
+partition row index in the lower 33 — deterministic once partitioning and
+intra-partition order are pinned, which the explicit range exchange + sort
+do), aggregate per-partition counts on a SECOND branch of the same
+exchange (AQE reuses the shuffle), turn them into cumulative offsets with
+a tiny single-partition window (one row per partition), and broadcast-join
+the offsets back: ``id = offset[pid] + local``.
+
+Identical to a global row_number as long as the order key is a total order
+(ties across partition boundaries would otherwise make ids depend on range
 sampling); callers must pass a tie-free key, matching the SURVEY W3 note
 that edge identity needs a defined total order (osm_id, seg_seq).
 
-NOT ``monotonically_increasing_id`` — that is partitioning-dependent and
-non-reproducible across runs.
+Why this and not the previous persist + count-collect + mapInPandas
+three-action design: every action is a driver barrier, and the network
+build calls this twice (edges, nodes) — the sequential job chain was the
+single largest serial residue in the N->4N scaling profile (~10 s at 8
+cores over ~14 small stages).  Lazy composition lets the caller pay ONE
+materialization for the whole finalize stage.
+
+Raw ``monotonically_increasing_id`` alone would be partitioning-dependent
+and non-reproducible; here it is only a (pid, local_index) reader over an
+explicitly pinned partitioning + order.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# monotonically_increasing_id packs the within-partition row index into the
+# low 33 bits (partition id above them)
+_MONO_LOCAL_BITS = 33
+_MONO_LOCAL_MASK = (1 << _MONO_LOCAL_BITS) - 1
 
 
 def assign_ids(
@@ -42,40 +59,35 @@ def assign_ids(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-    parted = df.repartitionByRange(num_partitions, *cols)
-    parted = parted.sortWithinPartitions(*cols)
-    parted = parted.withColumn("__pid", F.spark_partition_id())
-    parted.persist()
-    sizes = {
-        r["__pid"]: r["cnt"]
-        for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets = {}
-    acc = start
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-
-    from pyspark.sql import types as T
-
-    schema_out = T.StructType(
-        list(parted.schema.fields) + [T.StructField(id_col, T.LongType())]
+    base = df.repartitionByRange(num_partitions, *cols)
+    # counts branch: no sort needed (a partition's size is order-free); the
+    # nondeterministic spark_partition_id is projected before the groupBy
+    # (grouping directly on a nondeterministic expression is rejected)
+    counts = (
+        base.select(F.spark_partition_id().alias("__pid"))
+        .groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"))
     )
-
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf.assign(**{id_col: pd.Series([], dtype="int64")})
-                continue
-            base = offsets[int(pdf["__pid"].iloc[0])]
-            pdf = pdf.copy()
-            pdf[id_col] = range(base + local, base + local + len(pdf))
-            local += len(pdf)
-            yield pdf
-
-    out = parted.mapInPandas(add_ids, schema=schema_out).drop("__pid")
-    return out
+    # one row per partition: the global window is a single tiny task
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        (F.lit(start) + F.coalesce(F.sum("__cnt").over(w), F.lit(0))).alias("__off"),
+    )
+    parted = base.sortWithinPartitions(*cols).withColumn(
+        "__m", F.monotonically_increasing_id()
+    )
+    keyed = parted.select(
+        "*", F.shiftright(F.col("__m"), _MONO_LOCAL_BITS).alias("__pid")
+    )
+    out = keyed.join(F.broadcast(offsets), "__pid")
+    return out.select(
+        *df.columns,
+        (
+            F.col("__off")
+            + F.col("__m").bitwiseAND(F.lit(_MONO_LOCAL_MASK))
+        ).cast("long").alias(id_col),
+    )
 
 
 def row_number_small(df: DataFrame, order_cols: list[str], id_col: str = "id") -> DataFrame:
