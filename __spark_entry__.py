@@ -2320,6 +2320,7 @@ def oracle_sql() -> dict[str, str]:
         #   SQL, and even a stored-block PNG needs CRC32/adler32 polynomial
         #   arithmetic per byte; gated instead by pytest round-trip tests
         #   against the pure-python codec (tests/test_training_ops.py).
-        # - network_edges/nodes, edge_attributes, score_network,
-        #   pages_pipeline: geometry kernel over fixture WKB.
+        # - pages_pipeline / knn variants beyond knn_join: geometry kernel
+        #   over fixture WKB (the underlying machinery is oracled by
+        #   pip_join / knn_join / page_extract / hilbert_key).
     }
