@@ -144,24 +144,43 @@ def join_polygons(
         ).select("url", "polygon_id", "kind")
     if strategy != "native":
         raise ValueError(f"unknown strategy {strategy!r}")
-    pr = polygons.select(
-        "polygon_id", "kind", "geom",
-        spatial.polygon_edges_udf()(F.col("geom")).alias("edges"),
+    # grid-clipped ray cast (spatial.polygon_cell_edges_udf): the broadcast
+    # side holds, per (polygon, cell), a constant base parity mask (edges
+    # provably crossing for EVERY point of the cell) plus only the edges
+    # local to that cell — interior cells carry an EMPTY list and resolve
+    # from base alone, so the explode fans each candidate to O(perimeter
+    # through its cell) rows instead of the polygon's full edge list (the
+    # dominant DRAM traffic of this stage at 2.4M pages).
+    ce = spatial.polygon_cell_edges_udf(cell_size)
+    poly_cells = polygons.select(
+        "polygon_id", "kind", F.explode(ce(F.col("geom"))).alias("__ce")
+    ).select(
+        "polygon_id", "kind",
+        F.col("__ce.cell").alias("cell"),
+        F.col("__ce.base").alias("base"),
+        F.col("__ce.edges").alias("edges"),
     )
-    poly_cells = spatial.with_cells(pr, "geom", cell_size).drop("geom")
     cand = pg.join(F.broadcast(poly_cells), "cell")
+    # explode_outer: an empty kept list (interior cell) must keep its
+    # candidate row — its verdict is the base mask
     per_edge = cand.select(
-        "url", "polygon_id", "kind", "x", "y", F.explode("edges").alias("e")
+        "url", "polygon_id", "kind", "x", "y", "base",
+        F.explode_outer("edges").alias("e"),
     )
     crossing, boundary = spatial.pip_edge_flags(F.col("x"), F.col("y"), F.col("e"))
     bit = spatial.ring_bit(F.col("e.ring"))
     zero = F.lit(0).cast("long")
+    # null-edge rows (empty list) contribute zero to both masks: a NULL
+    # crossing/boundary takes the otherwise(zero) branch
     masks = per_edge.groupBy("url", "polygon_id", "kind").agg(
         F.bit_xor(F.when(crossing, bit).otherwise(zero)).alias("xm"),
         F.bit_or(F.when(boundary, bit).otherwise(zero)).alias("bm"),
+        F.min("base").alias("base"),
     )
     return masks.filter(
-        spatial.pip_mask_verdict(F.col("xm"), F.col("bm"))
+        spatial.pip_mask_verdict(
+            F.col("xm").bitwiseXOR(F.col("base")), F.col("bm")
+        )
     ).select("url", "polygon_id", "kind")
 
 
@@ -217,6 +236,14 @@ def _phase1_topk(
     cand = pg.join(segs, join_key, "left")
     scored = cand.withColumn("dist", spatial.point_segment_dist_expr())
     valid = F.col("dist").isNotNull() & (F.col("dist") <= F.lit(p1))
+    # NOTE (measured, round 5): min(struct)/min(string) buffers are
+    # immutable types, so these aggregates run as SortAggregate — and that
+    # is the FASTER form here.  The hash-friendly alternative (constants
+    # as group keys, per-edge hash-min, collect_list top-k) was tried and
+    # reverted: the composite var-length key (url + lang strings) pushed
+    # the candidate-stage hash map into the BytesToBytesMap slow path and
+    # spill (pages stage 29.7 -> 103.9 s at 8 cores).  Sorting slim rows
+    # sequentially beats hashing them with fat keys.
     carry = [
         F.min("px").alias("px"), F.min("py").alias("py"),
         F.min(cell_col).alias("cell"),
@@ -362,6 +389,13 @@ def nearest_edges(
                     geom_strategy, segs_base, hot, carry,
                 ).persist()
             )
+            # EAGER: the resolved branch, the unresolved branch and the
+            # phase-2 cell-prune all scan this cache as three CONCURRENT
+            # subplans of the caller's one action — submitted before the
+            # cache is populated, each recomputed the final top-k
+            # aggregation from the shuffle (three identical 8-task stages
+            # in the round-5 profile).  One count materializes it once.
+            agg.count()
             # resolution on the ROUNDED kth distance — identical to the
             # previous phase1-output comparison (its dist column was
             # rounded).  coalesce: a page with NO phase-1 candidate has a

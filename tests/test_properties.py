@@ -363,3 +363,68 @@ def test_pip_native_masks_match_kernel(spark, ring_pts, hole_pts, probes):
         [ops.point_in_polygon(np.array(p, dtype=float), rings) for p in probes]
     )
     assert (got == exp).all()
+
+
+@given(
+    st.lists(st.tuples(coord, coord), min_size=3, max_size=8),
+    st.lists(st.tuples(coord, coord), min_size=3, max_size=6),
+    st.lists(st.tuples(coord, coord), min_size=1, max_size=20),
+)
+@settings(max_examples=40, deadline=None)
+def test_pip_cell_clipped_matches_kernel(spark, ring_pts, hole_pts, probes):
+    """The grid-CLIPPED native PIP (polygon_cell_edges_udf: per-cell base
+    parity mask + local edge list, the join_polygons 'native' path) must
+    reproduce ops.point_in_polygon for every probe whose cell lies in the
+    polygon's bbox cover — the fold (always-cross edges into the base mask)
+    and the drop (never-cross edges) carry proofs; this pins them, holes
+    included.  Probes outside the cover produce no candidate row on either
+    side (cover semantics are pad-0 bbox, unchanged from the unclipped
+    path)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from netascore_spark import grid
+    from netascore_spark.geometry import wkb as _wkb
+    from netascore_spark.operators import spatial
+
+    ring = np.array(ring_pts + ring_pts[:1], dtype=float)
+    hole = np.array(hole_pts + hole_pts[:1], dtype=float)
+    if abs(ops.ring_signed_area(ring)) < 1e-6 or abs(ops.ring_signed_area(hole)) < 1e-6:
+        return  # degenerate sliver: PIP of a zero-area ring is out of domain
+    rings = [ring, hole]
+    geom = _wkb.encode(("Polygon", rings))
+    cs = 200.0
+    cover = set(int(c) for c in grid.cover_polygon(rings, cs))
+    pdf = pd.DataFrame(probes, columns=["px", "py"]).astype("float64")
+    pdf["pid"] = range(len(pdf))
+    pdf["cell"] = [int(grid.cell(x, y, cs)) for x, y in probes]
+    pts = spark.createDataFrame(pdf)
+    poly = spark.createDataFrame(
+        pd.DataFrame({"geom": [bytearray(geom)]})
+    ).select(F.explode(spatial.polygon_cell_edges_udf(cs)(F.col("geom"))).alias("ce"))
+    poly = poly.select(
+        F.col("ce.cell").alias("cell"), F.col("ce.base").alias("base"),
+        F.col("ce.edges").alias("edges"),
+    )
+    cand = pts.join(F.broadcast(poly), "cell")
+    per_edge = cand.select("pid", "px", "py", "base", F.explode_outer("edges").alias("e"))
+    crossing, boundary = spatial.pip_edge_flags(F.col("px"), F.col("py"), F.col("e"))
+    bit = spatial.ring_bit(F.col("e.ring"))
+    zero = F.lit(0).cast("long")
+    masks = per_edge.groupBy("pid").agg(
+        F.bit_xor(F.when(crossing, bit).otherwise(zero)).alias("xm"),
+        F.bit_or(F.when(boundary, bit).otherwise(zero)).alias("bm"),
+        F.min("base").alias("base"),
+    )
+    hits = {
+        int(r["pid"])
+        for r in masks.filter(
+            spatial.pip_mask_verdict(F.col("xm").bitwiseXOR(F.col("base")), F.col("bm"))
+        ).collect()
+    }
+    expected = {
+        pid
+        for pid, p in enumerate(probes)
+        if int(grid.cell(p[0], p[1], cs)) in cover
+        and ops.point_in_polygon(np.array(p, dtype=float), rings)
+    }
+    assert hits == expected

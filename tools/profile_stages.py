@@ -45,6 +45,12 @@ def main() -> None:
             # mirror bench.py's scan parallelism
             "spark.sql.files.maxPartitionBytes": str(16 << 20),
             "spark.sql.files.openCostInBytes": str(1 << 20),
+            # A/B knob: SPARK_GRAFT_AQE=0 disables adaptive execution to
+            # measure the per-shuffle-stage barrier + driver replanning cost
+            # on pipelines whose widths/strategies are already explicitly
+            # pinned (pages kNN/PIP)
+            "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "1")
+            .replace("0", "false").replace("1", "true"),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
