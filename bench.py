@@ -45,12 +45,17 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
     # fixture sizes scale with sf (FIXTURES.md); SPARK_GRAFT_PAGES overrides.
-    # sf0.1 headline runs AMORTIZED scale (2.4M pages / ~400k edges, the
-    # round-3 scaling-harness legs): at 200k pages / 100k edges, fixed stage
-    # scheduling still dominates several per-op numbers, so round-over-round
-    # comparisons happened below the engine's operating point.
+    # sf0.1 headline runs AMORTIZED scale (9.6M pages / ~400k edges): the
+    # round-4 2.4M legs still carried a ~12-15 s core-count-independent
+    # session floor (driver planning gaps, hot-cell histogram, per-stage
+    # scheduling, straggler tails — decomposed in BENCH.md) that was ~40%
+    # of the 8-core wall, so the N->4N ratio measured the floor, not the
+    # engine.  9.6M puts the pages leg in the work-dominated regime the
+    # 10^12-doc target actually runs in (strong scaling at a saturating
+    # problem size); round-over-round throughput stays comparable via
+    # pages_per_sec.
     n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", 0)) or (
-        2_400_000 if sf >= 0.1 else max(int(2_000_000 * sf), 2000)
+        9_600_000 if sf >= 0.1 else max(int(2_000_000 * sf), 2000)
     )
     # scale 56 ~= 400k edges (2x the matched-scale run; two-phase scalable
     # ids active).  SPARK_GRAFT_OSM_SCALE overrides.
@@ -244,12 +249,30 @@ def main() -> None:
     # extract pass), so a JVM-heap persist of the fat column buys nothing
     # and costs multi-GB of allocation; the count warms the OS page cache
     # over the parquet instead (input provisioning stays untimed).
-    pg_raw = cached_df(
-        f"pages_{n_pages}",
-        lambda: spark.createDataFrame(
-            fixtures.pages_pandas(n_pages), fixtures._PAGES_SCHEMA
-        ),
-    )
+    if n_pages > 3_000_000 and fixcache:
+        # above ~3M rows a single pandas frame (plus its Arrow copy) is
+        # multi-GB of driver heap: generate deterministic 1.2M-row chunks
+        # (urls/ids globally unique via the start offset) and append each
+        # to the cache path directly, bypassing cached_df's build-then-
+        # rewrite (which would overwrite the path while reading it)
+        path = os.path.join(fixcache, f"pages_{n_pages}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            chunk = 1_200_000
+            for j, off in enumerate(range(0, n_pages, chunk)):
+                pdf = fixtures.pages_pandas(
+                    min(chunk, n_pages - off), seed=fixtures.SEED + j, start=off
+                )
+                spark.createDataFrame(pdf, fixtures._PAGES_SCHEMA).write.mode(
+                    "append"
+                ).parquet(path)
+        pg_raw = spark.read.parquet(path)
+    else:
+        pg_raw = cached_df(
+            f"pages_{n_pages}",
+            lambda: spark.createDataFrame(
+                fixtures.pages_pandas(n_pages), fixtures._PAGES_SCHEMA
+            ),
+        )
     pg_raw.count()
 
     def run_pages():

@@ -485,19 +485,24 @@ _WORDS = (
 ).split()
 
 
-def pages_pandas(n: int, seed: int = SEED) -> pd.DataFrame:
+def pages_pandas(n: int, seed: int = SEED, start: int = 0) -> pd.DataFrame:
     """Deterministic pages table as pandas (reused by tests and bench).
 
     ~30% of pages land in 3 hot cells (skew), ~10% have no parseable
     coordinates, 5% NULL lang.  The html embeds the text and a geo meta tag;
     extraction must recover `text` byte-identically.
+
+    ``start`` offsets the row ids (urls, timestamps, lang stripes) so a
+    LARGE table can be generated in bounded-memory chunks —
+    ``pages_pandas(c, seed + j, start=j * c)`` for chunk j — with urls
+    globally unique.  Determinism is per (n, seed, start) triple.
     """
     rng = np.random.RandomState(seed)
     langs = ["en", "de", "fr"]
     hot_centers = [(150.0, 150.0), (450.0, 250.0), (6000.0, 0.0)]
     rows = []
     base_ts = pd.Timestamp("2025-01-01")
-    for i in range(n):
+    for i in range(start, start + n):
         url = f"https://site{i % 997}.example/p/{i}"
         ts = base_ts + pd.Timedelta(seconds=int(i) * 137)
         nw = 5 + int(rng.randint(0, 40))
