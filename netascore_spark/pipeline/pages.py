@@ -188,6 +188,26 @@ def join_polygons(
 # cell-ring kNN to nearest road segment
 # ---------------------------------------------------------------------------
 
+def _knn_join_width(pg: DataFrame) -> int:
+    """Partition count for the kNN cell join — the one exchange AQE cannot
+    size (size-based coalescing sees only the slim shuffle INPUT bytes, not
+    the ~30-50x candidate fan-out plus the SortAggregate computed inside
+    the join stage; at small inputs it coalesced the join to 1-2 tasks —
+    16M candidate rows in ONE partition at 600k pages).
+
+    The width must scale with DATA, not cores: a fixed 2x-parallelism pin
+    put ~30M candidate rows (~2 GB of sort buffer) in each task at 9.6M
+    pages — the per-task external sort spilled and the join stage went
+    superlinear (24x wall for 4x rows, measured round 5).  The page side's
+    CURRENT partition count is a free byte-proxy (file splits and upstream
+    shuffles are both size-capped), so: one join partition per input
+    partition, floored at 2x cores for small inputs (full CPU with
+    straggler headroom), matching the candidate volume per task to the
+    input split size at every scale."""
+    sc = pg.sparkSession.sparkContext
+    return max(2 * sc.defaultParallelism, pg.rdd.getNumPartitions())
+
+
 def _phase1_topk(
     pages_geo: DataFrame,
     k: int,
@@ -231,8 +251,7 @@ def _phase1_topk(
     else:
         raise ValueError(f"unknown geom_strategy {geom_strategy!r}")
     if geom_strategy != "broadcast" and os.environ.get("SPARK_GRAFT_KNN_PIN", "1") != "0":
-        n_parts = 2 * pg.sparkSession.sparkContext.defaultParallelism
-        pg = pg.repartition(n_parts, join_key)
+        pg = pg.repartition(_knn_join_width(pg), join_key)
     cand = pg.join(segs, join_key, "left")
     scored = cand.withColumn("dist", spatial.point_segment_dist_expr())
     valid = F.col("dist").isNotNull() & (F.col("dist") <= F.lit(p1))
@@ -524,11 +543,7 @@ def nearest_edges(
     # An explicit count is exempt from coalescing, so the compute keeps
     # shuffle.partitions-wide parallelism at every input size.
     if geom_strategy != "broadcast" and os.environ.get("SPARK_GRAFT_KNN_PIN", "1") != "0":
-        # 2x total cores: full CPU utilization with headroom for stragglers,
-        # scaling with the cluster rather than a fixed constant (64 fixed
-        # partitions measurably slow the 2-core leg with task overhead)
-        n_parts = 2 * pg.sparkSession.sparkContext.defaultParallelism
-        pg = pg.repartition(n_parts, join_key)
+        pg = pg.repartition(_knn_join_width(pg), join_key)
     cand = pg.join(segs, join_key)
     scored = cand.withColumn("dist", spatial.point_segment_dist_expr()).filter(
         F.col("dist") <= radius
