@@ -113,11 +113,42 @@ def _load_import(spark: SparkSession, imp: dict, base_path: str):
         from netascore_spark.sources import layers as L
         from netascore_spark.operators.ids import assign_ids
 
-        _require_keys(imp, ["filename"], "error: import section is missing:")
-        p = imp["filename"]
-        p = p if os.path.isabs(p) else os.path.join(base_path, p)
-        reader = read_osm_pbf if p.endswith(".pbf") else read_osm_xml
-        tables = reader(spark, p, imp.get("projection", "utm"))
+        if "filename" not in imp:
+            # reference dispatch (import_step.py:396-407): no file ->
+            # Overpass download by place_name or bbox.  The transport is
+            # the module's urllib one unless a test injected another.
+            from netascore_spark.sources import overpass as ov
+
+            if "place_name" in imp:
+                transport = imp.get("_transport") or ov.urllib_transport
+                _, _, _, tables = ov.import_from_place(
+                    spark, imp["place_name"], base_path, transport,
+                    admin_level=imp.get("admin_level"),
+                    zip_code=imp.get("zip_code"),
+                    buffer=float(imp.get("buffer", 500.0)),
+                    custom_srid=imp.get("srid"),
+                    on_existing=imp.get("on_existing", "abort"),
+                )
+            elif "bbox" in imp:
+                transport = imp.get("_transport") or ov.urllib_transport
+                dest = os.path.join(base_path, "osm_download_default_net.xml")
+                bbox = imp["bbox"]
+                if isinstance(bbox, str):
+                    bbox = [float(v) for v in bbox.split(",")]
+                ov.download_network(
+                    bbox, dest, transport,
+                    on_existing=imp.get("on_existing", "abort"),
+                )
+                tables = read_osm_xml(spark, dest, imp.get("projection", "utm"))
+            else:
+                _log("error: neither 'filename' nor 'place_name'/'bbox' in "
+                     "the osm import section (import_step.py:396-399)", 1)
+                sys.exit(1)
+        else:
+            p = imp["filename"]
+            p = p if os.path.isabs(p) else os.path.join(base_path, p)
+            reader = read_osm_pbf if p.endswith(".pbf") else read_osm_xml
+            tables = reader(spark, p, imp.get("projection", "utm"))
         pt, ln, pg = tables["osm_point"], tables["osm_line"], tables["osm_polygon"]
 
         def with_id(df, name):
@@ -135,8 +166,9 @@ def _load_import(spark: SparkSession, imp: dict, base_path: str):
             "water": with_id(L.water_layer(ln, pg, True), "water"),
         }
         return ln, layers
-    _log(f"import type '{kind}' not supported (osm/gip HTTP import is out of "
-         "scope per SURVEY §7 — convert with osm2pgsql/ogr2ogr to parquet or gpkg)", 1)
+    _log(f"import type '{kind}' not supported (GIP HTTP download is out of "
+         "scope per SURVEY §7 — use type: osm with place_name/bbox/filename, "
+         "or convert with ogr2ogr to parquet or gpkg)", 1)
     sys.exit(1)
 
 

@@ -183,3 +183,32 @@ def test_import_from_place_end_to_end(spark, tmp_path):
     # network projected into the AOI's UTM zone (meters, not degrees)
     xy = wkb.coords(wkb.decode(bytes(lines[0]["way"])))
     assert xy[:, 0].min() > 10000  # UTM easting scale
+
+
+def test_cli_osm_place_name_dispatch(spark, tmp_path):
+    """cli type=osm without filename: place_name -> Overpass download
+    (injected transport) -> parsed network + derived layers
+    (import_step.py:396-407 dispatch parity)."""
+    from netascore_spark.cli import _load_import
+
+    def transport(url, query):
+        return AOI_XML if "rel(pivot)" in query else NET_XML
+
+    osm, layers = _load_import(
+        spark,
+        {"type": "osm", "place_name": "Testland", "_transport": transport},
+        str(tmp_path),
+    )
+    assert osm.count() == 1
+    assert set(layers) == {"facility", "crossing", "building",
+                           "greenness", "water"}
+
+    # bbox variant, string form like the reference's settings file
+    (tmp_path / "b").mkdir()
+    osm2, _ = _load_import(
+        spark,
+        {"type": "osm", "bbox": "46.9, 12.9, 47.1, 13.1",
+         "_transport": transport},
+        str(tmp_path / "b"),
+    )
+    assert osm2.count() == 1
