@@ -212,3 +212,38 @@ def test_cli_osm_place_name_dispatch(spark, tmp_path):
         str(tmp_path / "b"),
     )
     assert osm2.count() == 1
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=4, max_value=24),
+    cuts=st.lists(st.integers(min_value=1, max_value=23), max_size=6),
+    flips=st.lists(st.booleans(), min_size=7, max_size=7),
+    rot=st.integers(min_value=0, max_value=23),
+    order=st.randoms(use_true_random=False),
+)
+def test_stitch_rings_recovers_any_segmentation(n, cuts, flips, rot, order):
+    """Any closed ring, cut at arbitrary positions into way-chains, each
+    chain optionally reversed, chains shuffled — the stitcher must return
+    exactly one closed ring visiting the same cyclic node sequence."""
+    ring = [1000 + ((rot + i) % n) for i in range(n)] + [1000 + rot % n]
+    pos = sorted({c % (n - 1) + 1 for c in cuts})
+    bounds = [0] + pos + [n]
+    segs = [ring[b: e + 1] for b, e in zip(bounds[:-1], bounds[1:])]
+    segs = [s[::-1] if flips[i % len(flips)] else s for i, s in enumerate(segs)]
+    order.shuffle(segs)
+
+    out = ov._stitch_rings(segs)
+    assert len(out) == 1
+    got = out[0]
+    assert got[0] == got[-1] and len(got) == n + 1
+    # same cyclic sequence up to rotation/direction
+    base = got[:-1]
+    want = ring[:-1]
+    k = base.index(want[0])
+    fwd = base[k:] + base[:k]
+    rev = [base[k]] + list(reversed(base[k + 1:] + base[:k]))
+    assert fwd == want or rev == want
