@@ -972,6 +972,59 @@ WHERE inter / (n_a + n_b - inter) >= 0.6
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: ngram pairs -> connected components (min-label
+    propagation + pointer jumping) -> (doc_id, cluster_id, cluster_size).
+    The oracle reproduces the component labels with a DuckDB recursive CTE
+    (min reachable id), over the SAME pair-generation SQL as ngram_dedup."""
+    from netascore_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.6, max_df=1_000_000
+    )
+
+
+_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN
+            list_distinct([array_to_string(t[i:i+2], ' ')
+                           for i in range(1, len(t) - 1)])
+        ELSE [array_to_string(t, ' ')] END AS shingles
+    FROM toks
+), sized AS (
+    SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           count(*) AS inter
+    FROM sized a JOIN sized b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+), pairs AS (
+    SELECT id_a, id_b FROM shared
+    WHERE inter / (n_a + n_b - inter) >= 0.6
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+), nodes AS (
+    SELECT DISTINCT u AS node FROM edges
+), reach AS (
+    SELECT node, node AS lbl FROM nodes
+    UNION
+    SELECT e.u AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+), comp AS (
+    SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     from netascore_spark.operators.similarity import cosine_topk
 
@@ -2238,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ngram_dedup": q_ngram_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "cosine_topk": q_cosine_topk,
         "sphere_tiling": q_sphere_tiling,
         "sphere_rollup": q_sphere_rollup,
@@ -2293,6 +2347,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": _BPE_ORACLE,
         "winnow_fingerprint": _WINNOW_ORACLE,
         "ngram_dedup": _NGRAM_ORACLE,
+        "dedup_clusters": _CLUSTERS_ORACLE,
         "cosine_topk": _COSINE_ORACLE,
         "sphere_tiling": _sphere_oracle(),
         "sphere_rollup": _sphere_rollup_oracle(),

@@ -128,6 +128,113 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components / cluster canonicalization
+# ---------------------------------------------------------------------------
+
+def _cut(df: DataFrame) -> DataFrame:
+    # same policy as pipeline.network._lineage_cut: reliable checkpoint when
+    # a checkpoint dir is configured (cluster), localCheckpoint otherwise
+    # (local mode) — keeps the iterative plan O(1) deep instead of growing
+    # two joins per round.
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list -> (node, comp),
+    where ``comp`` is the minimum node id reachable from ``node``.
+
+    Algorithm: min-label propagation with POINTER JUMPING (path halving).
+    Each round every node adopts the minimum label among itself and its
+    neighbours, then labels are compressed one hop (comp := comp(comp)).
+    Plain propagation needs O(diameter) rounds; the jump makes the
+    effective distance-to-root halve each round, i.e. O(log diameter).
+
+    Scale shape: each round is one shuffle-join of the (static) edge table
+    against the label table plus one label self-join for the jump — both
+    keyed on node id, no cross products, partial aggregation on the
+    neighbour min.  Lineage is cut per round so driver-side re-analysis
+    stays O(1).  Convergence is detected by sum(comp): labels only ever
+    decrease, so the sum strictly decreases until fixpoint — one cheap
+    action per round, no changed-rows join.  Near-dup clusters produced by
+    Jaccard/LSH thresholds are near-cliques (tiny diameter), so 2-3 rounds
+    converge in practice; the log-diameter bound covers adversarial chains.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = _cut(edges)  # static across rounds: scan, don't recompute
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("v"), F.col("comp").alias("vcomp")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias("comp"),
+            )
+        )
+        # pointer jump: comp := comp(comp) — comp values are node ids, so
+        # the lookup always hits (coalesce is belt-and-braces)
+        jump = new.select(F.col("node").alias("jn"), F.col("comp").alias("jc"))
+        new = (
+            new.join(jump, new["comp"] == jump["jn"], "left")
+            .select("node", F.coalesce("jc", F.col("comp")).alias("comp"))
+        )
+        new = _cut(new)
+        s = new.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+        labels = new
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS (the stage after pair generation): n-gram
+    Jaccard pairs -> connected components -> (doc_id, cluster_id,
+    cluster_size).  ``cluster_id`` is the min doc id in the component (the
+    canonical representative a pipeline would keep).  Only docs that appear
+    in at least one near-dup pair are returned (singletons are trivially
+    their own cluster)."""
+    pairs = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold, max_df)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

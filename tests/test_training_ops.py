@@ -47,6 +47,58 @@ def test_ngram_jaccard(spark, docs):
     assert not any({a, b} & {6} for a, b in got)
 
 
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3-4 plus island 5-6: two components, min-id labels
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], ["id_a", "id_b"]
+    )
+    comp = {r["node"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_long_path_pointer_jump(spark):
+    # a 40-node path: plain min propagation needs ~40 rounds; pointer
+    # jumping must converge well inside max_iter=12 (log2(40) ~ 5.3 plus
+    # propagation interleave)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], ["id_a", "id_b"]
+    )
+    rows = dedup.connected_components(pairs, max_iter=12).collect()
+    assert {r["comp"] for r in rows} == {1}
+    assert len(rows) == 40
+
+
+def test_connected_components_random_vs_union_find(spark):
+    rng = np.random.RandomState(7)
+    edges = sorted(
+        {tuple(sorted(p)) for p in rng.randint(0, 60, size=(80, 2)) if p[0] != p[1]}
+    )
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes_in_edges = {n for e in edges for n in e}
+    want = {n: min(m for m in nodes_in_edges if find(m) == find(n)) for n in nodes_in_edges}
+
+    pairs = spark.createDataFrame([(int(a), int(b)) for a, b in edges], ["id_a", "id_b"])
+    got = {r["node"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == want
+
+
+def test_dedup_clusters(spark, docs):
+    rows = dedup.dedup_clusters(docs, threshold=0.5).collect()
+    by_id = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in rows}
+    # docs 1, 2 (exact) and 3 (near) form one cluster labelled by min id 1
+    assert by_id[1] == (1, 3) and by_id[2] == (1, 3) and by_id[3] == (1, 3)
+    assert 6 not in by_id  # unrelated doc never enters a cluster
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16).collect()
     got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
