@@ -126,3 +126,71 @@ def test_windowed_cell_counts_watermark(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["n_pages"] == 5
     assert out[0]["window_start"] == d1
+
+
+def test_streaming_exact_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: one emission per distinct
+    text across micro-batches, deterministic within-batch canonical pick,
+    and state survives a query restart (no re-emission)."""
+    import pandas as pd
+
+    from netascore_spark.streaming import read_page_stream, streaming_exact_dedup
+
+    in_dir = str(tmp_path / "sin")
+    ck_dir = str(tmp_path / "sck")
+
+    def mk(rows):
+        return pd.DataFrame(
+            [
+                {
+                    "url": u,
+                    "warc_ts": dt.datetime(2026, 1, 1, 0, 0, s),
+                    "html": b"<html/>",
+                    "text": t,
+                    "lang": "en",
+                }
+                for u, s, t in rows
+            ]
+        )
+
+    # file 1: A + same-batch dup A2 (later ts) + B; file 2: cross-batch
+    # dup A3 + new D
+    f1 = mk([("u/a", 0, "xx"), ("u/a2", 5, "xx"), ("u/b", 1, "yy")])
+    f2 = mk([("u/a3", 9, "xx"), ("u/d", 2, "zz")])
+    for pdf in [f1, f2]:
+        spark.createDataFrame(pdf, fixtures._PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def run():
+        # memory sink can't recover from a checkpoint; foreachBatch can —
+        # collect each micro-batch's emissions on the driver
+        out = []
+        stream = read_page_stream(spark, in_dir, max_files_per_trigger=1)
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.foreachBatch(
+                lambda b, eid: out.extend(b.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["digest"]: r["url"] for r in out}
+
+    got = run()
+    # three distinct texts -> three emissions; canonical for "xx" is the
+    # earliest-ts row u/a, even though u/a2 shared its micro-batch
+    assert len(got) == 3
+    assert set(got.values()) == {"u/a", "u/b", "u/d"}
+
+    # third drop: another dup of "xx" plus genuinely new "ww"; restart
+    # with the same checkpoint -> state recovered, only "ww" emits
+    f3 = mk([("u/a4", 20, "xx"), ("u/e", 3, "ww")])
+    spark.createDataFrame(f3, fixtures._PAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    got2 = run()
+    assert set(got2.values()) == {"u/e"}
