@@ -391,3 +391,55 @@ def test_png_all_filters_decode():
             + chunk(b"IEND", b"")
         )
         assert (codecs.decode_png(png) == arr).all(), f"filter {ftype}"
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from netascore_spark.operators import sampling
+
+    df = spark.range(20000).withColumn("key", F.concat(F.lit("k"), F.col("id")))
+    s10 = {r["id"] for r in sampling.hash_sample(df, ["key"], 0.10).collect()}
+    s10b = {r["id"] for r in sampling.hash_sample(df.repartition(13), ["key"], 0.10).collect()}
+    assert s10 == s10b  # partitioning-independent
+    assert 0.08 < len(s10) / 20000 < 0.12
+    s01 = {r["id"] for r in sampling.hash_sample(df, ["key"], 0.01).collect()}
+    assert s01 <= s10  # nested under the same seed/keys
+    sother = {r["id"] for r in sampling.hash_sample(df, ["key"], 0.10, seed=7).collect()}
+    assert sother != s10
+
+
+def test_hash_split_disjoint_covering(spark):
+    from netascore_spark.operators import sampling
+
+    df = spark.range(10000).withColumn("key", F.col("id").cast("string"))
+    out = sampling.hash_split(df, ["key"], [8, 1, 1], ("train", "val", "test"))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 10000  # covering, one label per row
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 10000 < 0.85
+    # reproducible across partitioning
+    out2 = sampling.hash_split(df.repartition(7), ["key"], [8, 1, 1], ("train", "val", "test"))
+    a = {(r["id"], r["split"]) for r in out.collect()}
+    b = {(r["id"], r["split"]) for r in out2.collect()}
+    assert a == b
+
+
+def test_stratified_sample_exact_quota(spark, docs):
+    from netascore_spark.operators import sampling
+
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    out = sampling.stratified_sample(df, ["lang"], 10, tiebreak_cols=["id"])
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 10, "1": 10, "2": 10}
+    # small stratum: returns all of it
+    tiny = df.filter((F.col("lang") == "0") & (F.col("id") < 9))
+    assert sampling.stratified_sample(tiny, ["lang"], 10, tiebreak_cols=["id"]).count() == 3
+    # deterministic pick
+    p1 = {r["id"] for r in out.collect()}
+    p2 = {r["id"] for r in sampling.stratified_sample(df.repartition(11), ["lang"], 10, tiebreak_cols=["id"]).collect()}
+    assert p1 == p2
