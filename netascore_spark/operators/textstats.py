@@ -168,3 +168,58 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(t))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document -> (id, terms array<struct<term,
+    score>>, descending score, term-asc ties).
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed; a term in every doc still scores
+    > 0), tf = raw in-doc count.
+
+    Scale shape: tokenize/explode is map-side; (doc, term) tf and the term
+    df are partial-aggregated; the df join shuffles on the term key (hot
+    terms are exactly the low-idf ones, so skew carries little data after
+    the tf aggregation — one slim row per distinct (doc, term)).  Top-k is
+    the same map-side ``slice(array_sort(collect_list(...)))`` pattern as
+    the kNN k<=8 path — no per-doc window sort.  N is one scalar count —
+    the only driver action.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.col("tf") * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+    )
+    # array_sort on struct orders by fields in sequence: (-score, term)
+    # ascending == score descending, term ascending on ties
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("score")).alias("neg"), F.col("term")))
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("_top"),
+                lambda s: F.struct(
+                    s["term"].alias("term"), F.round(-s["neg"], 6).alias("score")
+                ),
+            ).alias("terms"),
+        )
+    )

@@ -443,3 +443,30 @@ def test_stratified_sample_exact_quota(spark, docs):
     p1 = {r["id"] for r in out.collect()}
     p2 = {r["id"] for r in sampling.stratified_sample(df.repartition(11), ["lang"], 10, tiebreak_cols=["id"]).collect()}
     assert p1 == p2
+
+
+def test_tfidf_top_terms(spark, docs):
+    import math
+
+    out = {r["doc_id"]: r["terms"] for r in textstats.tfidf_top_terms(docs, k=3).collect()}
+    assert 7 not in out  # empty doc has no terms
+    # reference computation for doc 6 (all terms unique to it, tf=1):
+    # idf identical -> ties broken by term asc
+    terms6 = [t["term"] for t in out[6]]
+    assert terms6 == sorted(terms6)
+    # "the" appears 3x in doc 1 but also in docs 2 and 3 -> low idf;
+    # a term unique to doc 1's text should outrank a ubiquitous one only
+    # when tf*idf says so: verify exact score for one (doc, term)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    n_docs = len(texts)
+    tok1 = texts[1].lower().split()
+    tf_the = tok1.count("the")
+    df_the = sum(1 for t in texts.values() if "the" in t.lower().split())
+    want = tf_the * (math.log((n_docs + 1) / (df_the + 1)) + 1.0)
+    got = {t["term"]: t["score"] for t in out[1]}
+    if "the" in got:
+        assert got["the"] == pytest.approx(want, abs=1e-6)
+    # scores are non-increasing within each doc
+    for did, ts in out.items():
+        scores = [t["score"] for t in ts]
+        assert scores == sorted(scores, reverse=True), did
