@@ -470,3 +470,32 @@ def test_tfidf_top_terms(spark, docs):
     for did, ts in out.items():
         scores = [t["score"] for t in ts]
         assert scores == sorted(scores, reverse=True), did
+
+
+def test_int8_quantization_roundtrip_and_recall(spark, vectors):
+    q = similarity.quantize_int8(vectors)
+    dq = similarity.dequantize_int8(q)
+    rows = dq.select("vec_id", "embedding", "embedding_dq", "q_scale", "q").collect()
+    for r in rows:
+        s = r["q_scale"]
+        assert all(-127 <= v <= 127 for v in r["q"])
+        for a, b in zip(r["embedding"], r["embedding_dq"]):
+            assert abs(a - b) <= s / 2 + 1e-12
+    # zero vector edge case
+    z = spark.createDataFrame([(99, [0.0] * 16, 0)], vectors.schema)
+    zr = similarity.dequantize_int8(similarity.quantize_int8(z)).first()
+    assert zr["q_scale"] == 0.0 and zr["embedding_dq"] == [0.0] * 16
+
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(vectors, queries, k=5)
+    approx = similarity.cosine_topk_quantized(similarity.quantize_int8(vectors), queries, k=5)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[q0] & ap[q0]) / 5 for q0 in ex]
+    assert min(recalls) >= 0.8 and sum(recalls) / len(recalls) >= 0.9
