@@ -499,3 +499,73 @@ def test_int8_quantization_roundtrip_and_recall(spark, vectors):
         ap.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(ex[q0] & ap[q0]) / 5 for q0 in ex]
     assert min(recalls) >= 0.8 and sum(recalls) / len(recalls) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# corpus cleaning
+# ---------------------------------------------------------------------------
+
+def test_scrub_pii_and_counts(spark):
+    from netascore_spark.operators import cleaning
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call +43 1 234 5678 now"),
+        (2, "server at 192.168.0.1 and 8.8.8.8; version 1.2.3.4.5 stays"),
+        (3, "no pii here, just text about 42 things"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["s"], r["p"])
+        for r in df.select(
+            "doc_id",
+            cleaning.scrub_pii(F.col("text")).alias("s"),
+            cleaning.pii_counts(F.col("text")).alias("p"),
+        ).collect()
+    }
+    assert "<EMAIL>" in out[1][0] and "jane" not in out[1][0]
+    assert "<PHONE>" in out[1][0]
+    assert out[1][1]["n_emails"] == 1 and out[1][1]["n_phones"] == 1
+    assert out[2][0].count("<IP>") == 2
+    # 1.2.3.4.5 is not an IPv4 boundary match on the full run of 5 octets
+    assert out[3][0] == rows[2][1]  # untouched
+    assert tuple(out[3][1]) == (0, 0, 0)
+
+
+def test_normalize_url(spark):
+    from netascore_spark.operators import cleaning
+
+    cases = [
+        ("HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag",
+         "https://example.com/Path/?q=1"),
+        ("http://example.com:80/", "http://example.com"),
+        ("https://example.com/a?fbclid=abc", "https://example.com/a"),
+        ("https://example.com/a?x=1&utm_medium=m&y=2",
+         "https://example.com/a?x=1&y=2"),
+        ("https://example.com/", "https://example.com"),
+        ("not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["n"] for r in df.select(cleaning.normalize_url(F.col("url")).alias("n")).collect()]
+    for (raw, want), g in zip(cases, got):
+        assert g == want, (raw, g, want)
+
+
+def test_repetition_stats(spark):
+    from netascore_spark.operators import cleaning
+
+    rows = [
+        (1, "same line\nsame line\nsame line\nother"),
+        (2, "abcdef ghij"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["rep"]
+        for r in df.select("doc_id", cleaning.repetition_stats(F.col("text")).alias("rep")).collect()
+    }
+    assert out[1]["dup_line_frac"] == pytest.approx(0.5)  # 4 lines, 2 distinct
+    assert out[1]["max_line_len"] == 9
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["alpha_frac"] == pytest.approx(10 / 11)
+    assert out[2]["mean_word_len"] == pytest.approx(10 / 2)
+    assert out[3]["dup_line_frac"] == 0.0 and out[3]["max_line_len"] == 0
