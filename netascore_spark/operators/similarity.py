@@ -257,11 +257,15 @@ def quantize_int8(
     with scale 0.  Native Columns, map-only."""
     v = F.col(vec_col).cast("array<double>")
     maxabs = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
-    s = (maxabs / F.lit(127.0)).alias(scale_col)
-    q = F.when(maxabs == 0.0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
-        F.transform(v, lambda x: F.round(x / (maxabs / 127.0)).cast("tinyint"))
+    # materialize the scale FIRST: inlining the maxabs aggregate inside the
+    # transform lambda would re-evaluate it per element — O(d^2) per vector
+    # (same HOF-inlining hazard as the winnowing window note)
+    out = df.withColumn(scale_col, maxabs / F.lit(127.0))
+    s = F.col(scale_col)
+    q = F.when(s == 0.0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(v, lambda x: F.round(x / s).cast("tinyint"))
     )
-    return df.withColumn(scale_col, s).withColumn(q_col, q.alias(q_col))
+    return out.withColumn(q_col, q)
 
 
 def dequantize_int8(
