@@ -569,3 +569,40 @@ def test_repetition_stats(spark):
     assert out[2]["alpha_frac"] == pytest.approx(10 / 11)
     assert out[2]["mean_word_len"] == pytest.approx(10 / 2)
     assert out[3]["dup_line_frac"] == 0.0 and out[3]["max_line_len"] == 0
+
+
+# ---------------------------------------------------------------------------
+# plan-shape gates for the data-prep operators
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_data_prep_plan_shapes(spark, docs):
+    from netascore_spark.operators import cleaning, sampling
+
+    # map-only ops: no shuffle, no Python eval of any kind
+    for df in [
+        sampling.hash_sample(docs, ["text"], 0.5),
+        sampling.hash_split(docs, ["text"], [8, 1, 1]),
+        cleaning.with_cleaning(docs),
+        docs.select(textstats.bpe_tokens(F.col("text"))),
+        docs.select(textstats.winnow_fingerprints(F.col("text"))),
+    ]:
+        p = _plan(df)
+        assert "Exchange" not in p, p
+        assert "EvalPython" not in p, p
+
+    # tfidf top-k must use the map-side slice/sort aggregation, not a
+    # per-doc Window sort (same gate as the kNN k<=8 path)
+    p = _plan(textstats.tfidf_top_terms(docs, k=3))
+    assert "Window" not in p, p
+    assert "EvalPython" not in p, p
+
+    # quantization: map-only, single aggregate per row (not inlined into
+    # the per-element lambda)
+    q = similarity.quantize_int8(docs.select(F.col("doc_id").alias("vec_id"),
+                                             F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")))
+    p = _plan(q)
+    assert "Exchange" not in p and "EvalPython" not in p, p
