@@ -104,3 +104,38 @@ def with_cleaning(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("pii", pii_counts(t))
         .withColumn("rep", repetition_stats(t))
     )
+
+
+def domain_of(url: Column) -> Column:
+    """Registrable-host extraction for per-domain grouping: lowercase host
+    with any leading 'www.' stripped (full public-suffix parsing needs the
+    PSL table — ship it as a broadcast dim when precision matters)."""
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    return F.when(host == "", None).otherwise(
+        F.regexp_replace(host, r"^www\.", "")
+    )
+
+
+def domain_stats(
+    docs: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain corpus profile: doc count, mean quality signals, PII
+    density — the table a pipeline thresholds to drop whole domains
+    (one shuffle on the domain key; partial aggregation does the heavy
+    lifting map-side, so hot domains cost bandwidth not memory)."""
+    t = F.col(text_col)
+    per_doc = docs.select(
+        domain_of(F.col(url_col)).alias("domain"),
+        repetition_stats(t).alias("rep"),
+        pii_counts(t).alias("pii"),
+        F.length(t).alias("n_chars"),
+    ).filter(F.col("domain").isNotNull())
+    return per_doc.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("rep.dup_line_frac"), 6).alias("avg_dup_line_frac"),
+        F.round(F.avg("rep.alpha_frac"), 6).alias("avg_alpha_frac"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(
+            F.col("pii.n_emails") + F.col("pii.n_ips") + F.col("pii.n_phones")
+        ).alias("n_pii_hits"),
+    )

@@ -606,3 +606,24 @@ def test_data_prep_plan_shapes(spark, docs):
                                              F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")))
     p = _plan(q)
     assert "Exchange" not in p and "EvalPython" not in p, p
+
+
+def test_domain_of_and_stats(spark):
+    from netascore_spark.operators import cleaning
+
+    rows = [
+        (1, "https://WWW.Example.com/a", "clean text here about things"),
+        (2, "https://example.com/b?x=1", "mail a@b.co now\nsame\nsame"),
+        (3, "http://other.org/", "short"),
+        (4, "garbage-not-a-url", "whatever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    doms = {r["doc_id"]: r["d"] for r in df.select(
+        "doc_id", cleaning.domain_of(F.col("url")).alias("d")).collect()}
+    assert doms[1] == "example.com" == doms[2]
+    assert doms[3] == "other.org" and doms[4] is None
+    stats = {r["domain"]: r for r in cleaning.domain_stats(df).collect()}
+    assert set(stats) == {"example.com", "other.org"}
+    assert stats["example.com"]["n_docs"] == 2
+    assert stats["example.com"]["n_pii_hits"] == 1
+    assert stats["other.org"]["avg_dup_line_frac"] == 0.0
