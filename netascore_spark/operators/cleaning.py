@@ -57,10 +57,10 @@ def normalize_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80(?=[/?]|$)", r"$1")
     # tracking params, wherever they sit in the query string
     u = F.regexp_replace(u, r"[?&](?:utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&#]*", "")
-    # if the first surviving param lost its '?', restore it
-    u = F.when(
-        F.regexp_like(u, F.lit(r"^[^?]*&")), F.regexp_replace(u, r"&", "?")
-    ).otherwise(u)
+    # if the first surviving param lost its '?', restore it — FIRST '&'
+    # only (an anchored capture; a bare replace-all would turn every
+    # subsequent separator into '?')
+    u = F.regexp_replace(u, r"^([^?&]*)&", r"$1?")
     u = F.regexp_replace(u, r"[?&]$", "")
     return F.regexp_replace(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)/$", r"$1")
 

@@ -541,6 +541,10 @@ def test_normalize_url(spark):
         ("https://example.com/a?fbclid=abc", "https://example.com/a"),
         ("https://example.com/a?x=1&utm_medium=m&y=2",
          "https://example.com/a?x=1&y=2"),
+        # first param is the tracking one: '?' must be restored on the
+        # first survivor ONLY, later '&' separators untouched
+        ("https://example.com/a?utm_source=s&x=1&y=2",
+         "https://example.com/a?x=1&y=2"),
         ("https://example.com/", "https://example.com"),
         ("not a url at all", "not a url at all"),
     ]
