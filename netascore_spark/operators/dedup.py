@@ -99,7 +99,21 @@ def ngram_jaccard_pairs(
     """
     sh = with_shingles(docs, id_col, text_col, n)
     sh = sh.withColumn("n_sh", F.size("shingles"))
-    inv = sh.select(id_col, "n_sh", F.explode("shingles").alias("shingle"))
+    # join on xxhash64 of the shingle, not the string: the inverted index
+    # shuffles |docs| x |shingles| rows, and an 8-byte key roughly halves
+    # that volume vs the multi-word string while making the groupBy/join
+    # comparisons long-vs-long.  A collision would inflate one pair's
+    # intersection count by 1 (worst case: one spurious near-dup pair);
+    # the chance ANY collision exists is ~n^2/2^65 — ~4e-6 at 10M distinct
+    # shingles, ~0.03 even at 10^9 — an accepted trade against halving the
+    # dominant shuffle (minhash_lsh_pairs already accepts the same md5-
+    # truncation trade inside its signatures)
+    inv = sh.select(
+        id_col, "n_sh",
+        F.explode(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
     # drop hot shingles (df > max_df) from candidate generation
     df_counts = inv.groupBy("shingle").agg(F.count("*").alias("df"))
     inv = inv.join(df_counts.filter(F.col("df") <= max_df), "shingle")
