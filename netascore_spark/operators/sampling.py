@@ -91,12 +91,12 @@ def stratified_sample(
     ``tiebreak_cols`` orders equal hashes (pass a unique id for full
     determinism when rows may collide or repeat).
     """
-    order = [_bucket(tiebreak_cols or df.columns, seed).alias("__h")]
+    h = _bucket(tiebreak_cols or df.columns, seed)
     w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
         F.col("__h"), *[F.col(c) for c in (tiebreak_cols or [])]
     )
     return (
-        df.withColumn("__h", order[0])
+        df.withColumn("__h", h)
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__h", "__rk")
