@@ -239,3 +239,73 @@ def test_pbf_network_goldens_match_xml(spark, tmp_path):
     ga = sorted((r["osm_id"], bytes(r["geom"])) for r in ex.select("osm_id", "geom").collect())
     gb = sorted((r["osm_id"], bytes(r["geom"])) for r in ep.select("osm_id", "geom").collect())
     assert ga == gb
+
+
+def test_pbf_distributed_matches_sequential(spark, tmp_path):
+    """The executor-side range decode (header-only offset scan + per-blob
+    decode) produces byte-identical tables to the sequential driver
+    stream — same ids, same WKB, same tags."""
+    pb = str(tmp_path / "d.osm.pbf")
+    _write_pbf(pb, _MICRO_NODES, _MICRO_WAYS, _MICRO_RELS)
+    seq = read_osm_pbf(spark, pb, projection_spec=None, distributed=False)
+    dist = read_osm_pbf(spark, pb, projection_spec=None, distributed=True)
+    assert _rows(seq) == _rows(dist)
+    # full-row comparison (every projected column + the tags map where the
+    # table carries one: only osm_line does)
+    for name in ("osm_point", "osm_line", "osm_polygon"):
+        cols = seq[name].columns
+        assert cols == dist[name].columns
+        key = lambda r: (r["osm_id"], bytes(r["way"]))
+
+        def norm(rows):
+            out = []
+            for r in rows:
+                d = r.asDict()
+                if "tags" in d:
+                    d["tags"] = sorted((d["tags"] or {}).items())
+                d["way"] = bytes(d["way"])
+                out.append(sorted(d.items(), key=lambda kv: kv[0]))
+            return sorted(out, key=str)
+
+        assert norm(seq[name].collect()) == norm(dist[name].collect())
+
+
+def test_pbf_distributed_auto_utm_zone_parity(spark, tmp_path):
+    """'utm' auto-zone resolution: the distributed path pins the zone on
+    the driver (first-chunk mean lon, replicating parse_osm_stream) so
+    every executor projects with the SAME zone as the sequential path."""
+    nodes = [
+        (1, 13.0, 47.5, {}),
+        (2, 13.01, 47.5, {}),
+        (3, 13.01, 47.51, {}),
+    ]
+    ways = [(101, [1, 2, 3], {"highway": "residential"})]
+    pb = str(tmp_path / "u.osm.pbf")
+    _write_pbf(pb, nodes, ways)
+    seq = read_osm_pbf(spark, pb, projection_spec="utm", distributed=False)
+    dist = read_osm_pbf(spark, pb, projection_spec="utm", distributed=True)
+    a = sorted((r["osm_id"], bytes(r["way"])) for r in seq["osm_line"].collect())
+    b = sorted((r["osm_id"], bytes(r["way"])) for r in dist["osm_line"].collect())
+    assert a == b and len(a) == 1
+
+
+def test_pbf_delete_list_tags_stripped(spark, tmp_path):
+    """osm2pgsql default.style delete rules apply to the PBF container
+    exactly as to XML (osmxml._clean_tags shared by both decoders)."""
+    ways = [
+        (101, [1, 2], {"highway": "residential", "created_by": "josm",
+                       "tiger:cfcc": "A41", "source": "survey"}),
+    ]
+    pb = str(tmp_path / "c.osm.pbf")
+    _write_pbf(pb, _MICRO_NODES, ways)
+    for distributed in (False, True):
+        tabs = read_osm_pbf(
+            spark, pb, projection_spec=None, distributed=distributed
+        )
+        (row,) = tabs["osm_line"].collect()
+        tags = dict(row["tags"] or {})
+        assert "created_by" not in tags
+        assert "tiger:cfcc" not in tags
+        assert "source" not in tags
+        # highway is a projected column (OSM_LINE_COLUMNS), not a tag
+        assert row["highway"] == "residential"
