@@ -11,6 +11,13 @@ at the requested core count.  Run twice (--cores 2, --cores 8) on the
 same cached corpus and divide for the N->4N efficiency.  Prints one JSON
 line.
 
+A continuous 1-core canary (tools/scaling_gated2.Sampler — the same
+machinery as the headline scaling legs) runs during the timed region;
+each stage whose window overlaps a degraded sample is listed in
+``degraded_queries`` and the boundary canaries + nominal threshold are
+stamped into the JSON, so this leg shares the provenance methodology of
+every other BENCH artifact.
+
 Usage: python tools/bench_curate.py [--cores N] [--docs N]
 """
 
@@ -82,27 +89,43 @@ def main() -> None:
             "spark.sql.shuffle.partitions": str(max(32, args.cores * 4)),
         },
     )
+    from scaling_gated2 import NOMINAL_S, Sampler, canary
+
     path = gen_corpus(spark, args.docs)
     docs = spark.read.parquet(path)
     docs.count()  # warm the scan + JIT outside the timed region
 
     timings: dict[str, float] = {}
+    windows: dict[str, tuple[float, float]] = {}
+    c_before = canary()
 
-    t0 = time.time()
-    n_exact = dedup.dedup_exact(docs).count()
-    timings["exact_dedup"] = round(time.time() - t0, 3)
+    with Sampler() as sampler:
+        t0 = time.time()
+        n_exact = dedup.dedup_exact(docs).count()
+        timings["exact_dedup"] = round(time.time() - t0, 3)
+        windows["exact_dedup"] = (t0, time.time())
 
-    t0 = time.time()
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.6, max_df=200)
-    pairs = pairs.persist()
-    n_pairs = pairs.count()
-    timings["ngram_pairs"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.6, max_df=200)
+        pairs = pairs.persist()
+        n_pairs = pairs.count()
+        timings["ngram_pairs"] = round(time.time() - t0, 3)
+        windows["ngram_pairs"] = (t0, time.time())
 
-    t0 = time.time()
-    comp = dedup.connected_components(pairs)
-    sizes = comp.groupBy("comp").count()
-    n_nodes, n_clusters = comp.count(), sizes.count()
-    timings["components"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        comp = dedup.connected_components(pairs)
+        sizes = comp.groupBy("comp").count()
+        n_nodes, n_clusters = comp.count(), sizes.count()
+        timings["components"] = round(time.time() - t0, 3)
+        windows["components"] = (t0, time.time())
+
+    c_after = canary()
+    bad = sampler.degraded_intervals()
+    degraded = sorted(
+        q for q, (w0, w1) in windows.items()
+        if any(lo < w1 and w0 < hi for lo, hi in bad)
+    )
+    clean = [d for *_, d in sampler.samples if d <= sampler.nominal_s]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -119,6 +142,12 @@ def main() -> None:
                 "n_clustered_nodes": n_nodes,
                 "n_clusters": n_clusters,
                 "docs_per_sec": round(args.docs / total, 1),
+                "gate": "continuous canary (scaling_gated2.Sampler)",
+                "gate_nominal_s": NOMINAL_S,
+                "canary_before_s": round(c_before, 2),
+                "canary_after_s": round(c_after, 2),
+                "canary_worst_clean_s": round(max(clean), 2) if clean else None,
+                "degraded_queries": degraded,
             }
         )
     )

@@ -146,10 +146,19 @@ def main() -> None:
     spark = build_session(app_name="bench-pbf", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
-    tabs = read_osm_pbf(spark, path, projection_spec=None)
+    tabs = read_osm_pbf(spark, path, projection_spec=None, distributed=False)
     counts = {k: df.count() for k, df in tabs.items()}
     e2e_s = time.time() - t0
+
+    from netascore_spark.pipeline import cache
+
+    t0 = time.time()
+    tabs_d = read_osm_pbf(spark, path, projection_spec=None, distributed=True)
+    counts_d = {k: df.count() for k, df in tabs_d.items()}
+    dist_s = time.time() - t0
+    cache.release_all()
     spark.stop()
+    assert counts == counts_d, (counts, counts_d)
 
     print(json.dumps({
         "file_mb": round(size_mb, 1),
@@ -160,6 +169,9 @@ def main() -> None:
         "decode_mb_s": round(size_mb / decode_s, 1),
         "e2e_sec": round(e2e_s, 1),
         "e2e_mb_s": round(size_mb / e2e_s, 1),
+        "e2e_dist_sec": round(dist_s, 1),
+        "e2e_dist_mb_s": round(size_mb / dist_s, 1),
+        "cores": int(cpus),
         "counts": counts,
     }))
 
