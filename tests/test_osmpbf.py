@@ -309,3 +309,41 @@ def test_pbf_delete_list_tags_stripped(spark, tmp_path):
         assert "source" not in tags
         # highway is a projected column (OSM_LINE_COLUMNS), not a tag
         assert row["highway"] == "residential"
+
+
+def test_pbf_multiblob_distributed(spark, tmp_path):
+    """Multi-blob file (the shape real extracts have): elements split
+    across several OSMData blobs decode to the same tables as one blob,
+    sequentially AND distributed (blob boundaries are invisible — way
+    refs resolve across blobs through the global assembly join)."""
+    one = str(tmp_path / "one.osm.pbf")
+    _write_pbf(one, _MICRO_NODES, _MICRO_WAYS, _MICRO_RELS)
+
+    # split nodes/ways/rels across three files, then concatenate the blob
+    # streams: PBF framing is self-delimiting and OSMHeader blobs are
+    # skipped, so the concatenation is a valid multi-blob file
+    parts = [
+        str(tmp_path / "p0.osm.pbf"),
+        str(tmp_path / "p1.osm.pbf"),
+        str(tmp_path / "p2.osm.pbf"),
+    ]
+    _write_pbf(parts[0], _MICRO_NODES[:8], [], [])
+    _write_pbf(parts[1], _MICRO_NODES[8:], _MICRO_WAYS[:2], [])
+    _write_pbf(parts[2], [], _MICRO_WAYS[2:], _MICRO_RELS)
+    multi = str(tmp_path / "multi.osm.pbf")
+    with open(multi, "wb") as out:
+        for p in parts:
+            with open(p, "rb") as fh:
+                out.write(fh.read())
+
+    from netascore_spark.sources.osmpbf import _scan_blob_index
+
+    index = _scan_blob_index(multi)
+    assert sum(1 for t, _, _ in index if t == "OSMData") == 3
+
+    base = _rows(read_osm_pbf(spark, one, projection_spec=None))
+    seq = _rows(read_osm_pbf(spark, multi, projection_spec=None,
+                             distributed=False))
+    dist = _rows(read_osm_pbf(spark, multi, projection_spec=None,
+                              distributed=True))
+    assert base == seq == dist
