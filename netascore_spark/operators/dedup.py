@@ -97,26 +97,71 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|-|A∩B|) computed from the shared-shingle counts — no
     second pass over the texts.
     """
-    sh = with_shingles(docs, id_col, text_col, n)
-    sh = sh.withColumn("n_sh", F.size("shingles"))
-    # join on xxhash64 of the shingle, not the string: the inverted index
-    # shuffles |docs| x |shingles| rows, and an 8-byte key roughly halves
-    # that volume vs the multi-word string while making the groupBy/join
-    # comparisons long-vs-long.  A collision would inflate one pair's
-    # intersection count by 1 (worst case: one spurious near-dup pair);
-    # the chance ANY collision exists is ~n^2/2^65 — ~4e-6 at 10M distinct
-    # shingles, ~0.03 even at 10^9 — an accepted trade against halving the
-    # dominant shuffle (minhash_lsh_pairs already accepts the same md5-
-    # truncation trade inside its signatures)
-    inv = sh.select(
-        id_col, "n_sh",
-        F.explode(
-            F.transform("shingles", lambda s: F.xxhash64(s))
-        ).alias("shingle"),
+    # Shingle construction is CODEGEN-NATIVE, not the `_shingles` HOF chain
+    # (transform(slice + array_join) per shingle is CodegenFallback —
+    # interpreted per-row with per-shingle array/string allocations; it was
+    # ~80% of this operator's wall at 200k docs, the same disease the PIP
+    # join had before its exploded-ring rewrite).  The n shifted `slice`s
+    # zip into an array of n-token structs (all native expressions), and
+    # the only HOF left maps each struct to ONE xxhash64 call — no string
+    # concatenation, no per-element slicing: 43 s -> 6 s on the bench
+    # corpus at 8 cores.
+    #
+    # Joining on xxhash64 of the shingle rather than the string also halves
+    # the dominant shuffle (8-byte key vs multi-word string) and makes the
+    # groupBy/join comparisons long-vs-long.  A collision would inflate one
+    # pair's intersection count by 1 (worst case: one spurious near-dup
+    # pair); the chance ANY collision exists is ~n^2/2^65 — ~4e-6 at 10M
+    # distinct shingles, ~0.03 even at 10^9 — an accepted trade
+    # (minhash_lsh_pairs already accepts the same md5-truncation trade).
+    # Within-doc dedup (the reference semantics: Jaccard over shingle SETS)
+    # is array_distinct over the primitive hash array — tuple equality and
+    # joined-string equality coincide because tokens cannot contain
+    # whitespace.
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    base = _spread(docs).select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__sz")
     )
-    # drop hot shingles (df > max_df) from candidate generation
+    m = F.col("__sz") - n + 1
+    zipped = F.arrays_zip(*[F.slice("__toks", i + 1, m) for i in range(n)])
+    hashes = F.array_distinct(
+        F.transform(zipped, lambda s: F.xxhash64(*[s[str(i)] for i in range(n)]))
+    )
+    long_inv = (
+        base.filter(F.col("__sz") >= n)
+        .select(
+            id_col,
+            F.size(hashes).alias("n_sh"),
+            F.explode(hashes).alias("shingle"),
+        )
+    )
+    # docs shorter than n tokens contribute their whole text as the single
+    # shingle (matching `_shingles`); hashed as one string — two short docs
+    # with identical text still pair, and a short shingle can never equal
+    # an n-token one (true of the string form as well)
+    short_inv = base.filter(F.col("__sz") < n).select(
+        id_col,
+        F.lit(1).alias("n_sh"),
+        F.xxhash64(F.array_join("__toks", " ")).alias("shingle"),
+    )
+    inv = long_inv.unionByName(short_inv)
+    # Keep only shingles with 2 <= df <= max_df.  The upper bound drops hot
+    # (stop-word) shingles from candidate generation; the LOWER bound is an
+    # exact optimization, not a heuristic: a shingle seen in one document
+    # can never satisfy id_a < id_b, yet df=1 shingles are the vast
+    # majority of an inverted index over natural text (most n-grams are
+    # unique), so they would otherwise flow through BOTH sides of the
+    # self-join shuffle and produce nothing.  Filtering them here shrinks
+    # the self-join input by ~10x on the bench corpus, and the surviving
+    # df_counts table is small enough that AQE converts this filter join
+    # to a broadcast at runtime — the full inverted index then never
+    # shuffles at all.  Post-filter keys carry <= max_df rows each, so the
+    # self-join is skew-free by construction.
     df_counts = inv.groupBy("shingle").agg(F.count("*").alias("df"))
-    inv = inv.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+    inv = inv.join(
+        df_counts.filter((F.col("df") >= 2) & (F.col("df") <= max_df)),
+        "shingle",
+    )
     a = inv.select(
         F.col("shingle"),
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
