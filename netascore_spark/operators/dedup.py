@@ -122,17 +122,34 @@ def ngram_jaccard_pairs(
     base = _spread(docs).select(
         F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__sz")
     )
-    m = F.col("__sz") - n + 1
+    # greatest(.., 0) keeps the slice length TOTAL: the optimizer infers a
+    # size(hashes) > 0 predicate from the explode and pushes it below the
+    # __sz >= n guard with the defining expression substituted in, where
+    # codegen subexpression elimination evaluates it BEFORE the guard's
+    # short-circuit — a negative length would throw on short docs even
+    # though the branch filter excludes them.  Length-0 slices yield empty
+    # arrays, which the inferred predicate then drops, consistently.
+    m = F.greatest(F.col("__sz") - n + 1, F.lit(0))
     zipped = F.arrays_zip(*[F.slice("__toks", i + 1, m) for i in range(n)])
     hashes = F.array_distinct(
         F.transform(zipped, lambda s: F.xxhash64(*[s[str(i)] for i in range(n)]))
     )
+    # The hash array MUST be materialized as a named column in its own
+    # projection before size()/explode() touch it: with both in one select,
+    # ExtractGenerator inlines the full transform+array_distinct expression
+    # into the projection ABOVE the Generate, where it is re-evaluated per
+    # EXPLODED row — O(shingles^2) per document (measured 9x on the bench
+    # corpus: 35 s -> 4 s for the inverted-index build at 8 cores).  The
+    # same inlined-expression hazard is documented at
+    # operators/similarity.py:quantize_int8.  Column pruning hides it from
+    # any probe that drops n_sh (a bare count() runs fast either way).
     long_inv = (
         base.filter(F.col("__sz") >= n)
+        .select(id_col, hashes.alias("__hs"))
         .select(
             id_col,
-            F.size(hashes).alias("n_sh"),
-            F.explode(hashes).alias("shingle"),
+            F.size("__hs").alias("n_sh"),
+            F.explode("__hs").alias("shingle"),
         )
     )
     # docs shorter than n tokens contribute their whole text as the single
