@@ -174,6 +174,14 @@ def ngram_jaccard_pairs(
     # to a broadcast at runtime — the full inverted index then never
     # shuffles at all.  Post-filter keys carry <= max_df rows each, so the
     # self-join is skew-free by construction.
+    # Known trade: inv has two consumers (the df count and the join probe),
+    # so the shingle build runs twice — column pruning slims the df branch
+    # to bare shingles, which also defeats ReuseExchange (the two exchanges
+    # differ post-pruning).  Forcing a single shared exchange needs an
+    # in-operator persist of the full inverted index (measured ~10-15% at
+    # 800k docs) — rejected: caching |docs|x|shingles| rows is exactly the
+    # footprint this operator must avoid at corpus scale, and the double
+    # build parallelizes with cores (AQE runs both map stages concurrently).
     df_counts = inv.groupBy("shingle").agg(F.count("*").alias("df"))
     inv = inv.join(
         df_counts.filter((F.col("df") >= 2) & (F.col("df") <= max_df)),
