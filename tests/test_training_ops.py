@@ -611,6 +611,17 @@ def test_data_prep_plan_shapes(spark, docs):
     p = _plan(q)
     assert "Exchange" not in p and "EvalPython" not in p, p
 
+    # ngram inverted index: the shingle-hash array must be materialized as
+    # its own column (__hs) before size()/explode() touch it — with both in
+    # ONE projection, ExtractGenerator inlines the transform+array_distinct
+    # expression above the Generate, where it re-evaluates per EXPLODED row
+    # (O(shingles^2) per document; measured 9x on the build).  The generator
+    # and the n_sh projection must both reference the bare attribute.
+    p = _plan(dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=10))
+    assert "Generate explode(__hs" in p, p
+    assert "size(__hs" in p, p
+    assert "EvalPython" not in p, p
+
 
 def test_domain_of_and_stats(spark):
     from netascore_spark.operators import cleaning
