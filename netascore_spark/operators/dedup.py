@@ -187,20 +187,32 @@ def ngram_jaccard_pairs(
         df_counts.filter((F.col("df") >= 2) & (F.col("df") <= max_df)),
         "shingle",
     )
-    a = inv.select(
-        F.col("shingle"),
-        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
+    # Pair generation: ONE exchange of the filtered inverted index into a
+    # collect_list per shingle, then a native double-explode over the
+    # bounded posting list.  The previous a.join(b, "shingle") self-join
+    # shuffled the SAME filtered index twice (both join inputs) and its
+    # reduce side held sort-merge buffers for both streams — the
+    # memory-bound stage behind the 0.67 2->8 efficiency at 800k docs.
+    # Per-key lists are <= max_df entries (16 B structs) by the df filter
+    # above, so the collected array is bounded; the df^2 candidate rows
+    # stream out of the Generate pair one at a time (never materialized
+    # per key), exactly as the join output did — with half the shuffle
+    # write and one sorter instead of two.
+    grouped = inv.groupBy("shingle").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                F.col("n_sh").alias("n"))).alias("__mem")
     )
-    b = inv.select(
-        F.col("shingle"),
-        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+    # both Generates reference the bare materialized attribute (__mem /
+    # __a) — same ExtractGenerator-inlining rule as the __hs explode above
+    pairs = (
+        grouped.select(F.explode("__mem").alias("__a"), F.col("__mem"))
+        .select(F.col("__a"), F.explode("__mem").alias("__b"))
+        .filter(F.col("__a.i") < F.col("__b.i"))
     )
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    shared = pairs.groupBy(
+        F.col("__a.i").alias("id_a"), F.col("__b.i").alias("id_b"),
+        F.col("__a.n").alias("n_a"), F.col("__b.n").alias("n_b"),
+    ).agg(F.count("*").alias("inter"))
     # threshold on the UNROUNDED value (matching exact SQL semantics —
     # rounding first would flip boundary pairs at jaccard ~= threshold),
     # round only the reported column
