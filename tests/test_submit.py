@@ -67,3 +67,39 @@ def test_pyfiles_zip_submit(tmp_path):
     lines = [l for l in out.stdout.splitlines() if l.startswith("scored_edges=")]
     assert lines, out.stdout[-2000:]
     assert int(lines[0].split("=")[1]) > 0
+
+
+@pytest.mark.skipif(_spark_submit() is None, reason="no spark-submit binary")
+def test_pyfiles_zip_submit_curate(tmp_path):
+    """The webtext twin: jobs/curate_corpus.py under a real spark-submit
+    from a neutral cwd, package resolving from the zip.  The synthetic
+    corpus plants 10% exact and 10% near duplicates, so the curated count
+    is exactly 80% of the input — a value the whole chain (gate, exact
+    dedup, pair join, components, splits) must cooperate to produce."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_pyfiles
+
+    zip_path = make_pyfiles.build(REPO, str(tmp_path))
+    job = os.path.join(tmp_path, "curate_corpus.py")
+    shutil.copy(os.path.join(REPO, "jobs", "curate_corpus.py"), job)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [
+            _spark_submit(),
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zip_path,
+            job, "--synthetic-docs", "2000", "--threshold", "0.7",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    lines = [l for l in out.stdout.splitlines()
+             if l.startswith("curated_docs=")]
+    assert lines, out.stdout[-2000:]
+    assert lines[0].split()[0] == "curated_docs=1600", lines[0]
