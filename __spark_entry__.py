@@ -2260,6 +2260,128 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# ===========================================================================
+# extra registry (beyond the driver's 50-row report cap)
+# ===========================================================================
+#
+# The driver reports at most 50 queries()/oracle_sql() entries per round
+# (round 4 silently dropped the 51st), so operators landed after the cap
+# was reached live here: same (spark_fn, oracle_sql) contract, checked by
+# the same comparator via ``python tools/check_oracles.py --extra`` and by
+# the hermetic DuckDB-parity tests in tests/test_training_ops.py.
+
+def q_line_dedup(spark, sf_dir):
+    from netascore_spark.operators.dedup import line_dedup
+
+    # the fixture corpus is single-line; derive a deterministic multi-line
+    # view (literal replace, same expression in the oracle) so corpus-level
+    # line dedup exercises real line structure
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" slow "), F.lit("\n"))
+    )
+    return line_dedup(d)
+
+
+_LINE_DEDUP_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, string_split(replace(text, ' slow ', chr(10)), chr(10)) AS ls
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM d
+),
+hot AS (SELECT line FROM lines GROUP BY line HAVING count(*) > 1),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, h.line IS NOT NULL AS is_dup
+  FROM lines l LEFT JOIN hot h USING (line)
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN NOT is_dup THEN line END, chr(10) ORDER BY pos),
+           '') AS text_kept,
+  count(CASE WHEN NOT is_dup THEN 1 END) AS n_kept,
+  count(*) AS n_lines
+FROM flagged GROUP BY doc_id
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    from netascore_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 53 == 0)
+    train = d.filter(F.col("doc_id") % 53 != 0)
+    # operator default is the standard 8-gram rule; the synthetic fixture's
+    # tiny vocabulary only produces natural cross-split overlap at n=4
+    # (18 contaminated docs at sf0.01; n=8 finds zero — a trivial oracle)
+    return decontaminate(train, bench, n=4)
+
+
+_DECONTAMINATE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, len(t) - 2),
+             i -> array_to_string(t[i:i+3], ' ')))) AS g
+  FROM toks WHERE len(t) >= 4
+),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 53 = 0)
+SELECT tg.doc_id, count(*) AS n_hits
+FROM (SELECT * FROM grams WHERE doc_id % 53 <> 0) tg JOIN bg USING (g)
+GROUP BY tg.doc_id
+"""
+
+
+def q_lm_score(spark, sf_dir):
+    from netascore_spark.operators.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+_LM_SCORE_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+uni AS (SELECT unnest(t) AS w FROM base),
+c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+v AS (SELECT count(*) AS V FROM c1),
+bi AS (
+  SELECT doc_id, unnest(t[:len(t)-1]) AS w1, unnest(t[2:]) AS w2
+  FROM base WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+scored AS (
+  SELECT bi.doc_id, ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.V)) AS logp
+  FROM bi JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = bi.w1 CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp,
+       round(exp(-avg(logp)), 3) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
+        "lm_score": q_lm_score,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    return {
+        "line_dedup": _LINE_DEDUP_ORACLE,
+        "decontaminate": _DECONTAMINATE_ORACLE,
+        "lm_score": _LM_SCORE_ORACLE,
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scoring DSL + access cascades (SQL-checked)

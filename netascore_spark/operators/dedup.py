@@ -224,6 +224,132 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# corpus-level line dedup (CCNet-style) and benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_count: int = 1,
+) -> DataFrame:
+    """CCNet-style corpus-level line deduplication: drop every line whose
+    exact content occurs in more than ``max_count`` line slots across the
+    WHOLE corpus (boilerplate headers/footers/cookie banners dominate raw
+    web text), reassemble the survivors in original order.
+
+    Returns (id, text_kept, n_kept, n_lines) — one row per input document,
+    including documents whose every line was boilerplate (text_kept='').
+
+    Scale shape: lines are keyed by ``xxhash64`` (8-byte shuffle key, never
+    the line text) — the frequency count and the hot-set join then share
+    one hash partitioning (count is map-side combined; the hot set is the
+    *duplicated* lines only, far smaller than the line table), and the
+    reassembly is a single groupBy(id).  A collision merges two distinct
+    lines (both dropped spuriously) with probability ~n^2/2^65 — the same
+    accepted trade as ngram_jaccard_pairs' shingle keys.  ``sep`` is a
+    Java-regex for the split and a literal for the re-join, so pass a
+    regex-free separator (the default newline is).
+    """
+    lines = _spread(docs).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    ).withColumn("__h", F.xxhash64("line"))
+    hot = (
+        lines.groupBy("__h")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_count)
+    )
+    flagged = lines.join(hot, "__h", "left")
+    keep = F.col("__n").isNull()
+    # collect_list skips the when()'s null branch, so only kept lines land
+    # in the array; pos is unique per doc, so the struct sort restores
+    # original order deterministically.  The transform HOF here runs once
+    # per KEPT LINE on one row per document — not a hot path.
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(keep, F.struct("pos", "line")))
+            ).alias("__kept"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform("__kept", lambda s: s["line"]), sep
+            ).alias("text_kept"),
+            "n_kept",
+            "n_lines",
+        )
+    )
+
+
+def token_ngram_hashes(text_col: str, n: int) -> F.Column:
+    """Distinct word-``n``-gram xxhash64 keys of a text column, built
+    codegen-native (shifted-slice arrays_zip, no per-gram string concat —
+    same construction and ExtractGenerator caveats as ngram_jaccard_pairs).
+    Documents shorter than ``n`` tokens yield NULL (explode drops them).
+    Tokens cannot contain whitespace, so hashing the n token fields is
+    equivalent to hashing the joined string."""
+    from .textstats import TOKEN_SPLIT
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT)
+    m = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    hashes = F.array_distinct(
+        F.transform(zipped, lambda s: F.xxhash64(*[s[str(i)] for i in range(n)]))
+    )
+    return F.when(F.size(toks) >= n, hashes)
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    ``n``-gram with an evaluation-benchmark corpus (the standard 8-13-gram
+    overlap rule for scrubbing eval sets out of web-scale training data).
+
+    Returns (id, n_hits) for CONTAMINATED documents only — ``n_hits`` is
+    the number of distinct n-grams of the document that occur anywhere in
+    the benchmark; drop them with a left_anti join on id.
+
+    Scale shape: the benchmark gram set is distinct-reduced then (by
+    default) BROADCAST — benchmarks are small by nature (~1e5-1e6 docs)
+    while the training corpus is the 10^12-doc side, so the train-side
+    explode joins map-side with zero shuffle of the gram table; the only
+    wide exchange is the per-doc hit count (hit rows only).  Grams are
+    keyed by xxhash64 of the n token fields (8-byte keys, no gram strings
+    ever shuffle) — collision odds as in ngram_jaccard_pairs.
+    """
+    grams = token_ngram_hashes(text_col, n)
+    bench_grams = (
+        _spread(benchmark)
+        .select(F.explode(grams).alias("__g"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    train_grams = _spread(train).select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    )
+    # per-doc grams are already distinct (array_distinct in the builder),
+    # so count(*) after the inner join is the distinct-hit count
+    return (
+        train_grams.join(bench_grams, "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # connected components / cluster canonicalization
 # ---------------------------------------------------------------------------
 

@@ -642,3 +642,100 @@ def test_domain_of_and_stats(spark):
     assert stats["example.com"]["n_docs"] == 2
     assert stats["example.com"]["n_pii_hits"] == 1
     assert stats["other.org"]["avg_dup_line_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line dedup / decontamination / bigram LM
+# ---------------------------------------------------------------------------
+
+def test_line_dedup(spark):
+    rows = [
+        (1, "z line\nboiler\na line"),   # kept lines must stay in POSITION order
+        (2, "boiler\nunique line two"),
+        (3, "boiler\nboiler"),           # every line duplicated -> empty doc
+        (4, "solo document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.line_dedup(df).collect()}
+    assert len(out) == 4  # fully-deduped docs still get a row
+    assert out[1]["text_kept"] == "z line\na line"
+    assert (out[1]["n_kept"], out[1]["n_lines"]) == (2, 3)
+    assert out[2]["text_kept"] == "unique line two"
+    assert out[3]["text_kept"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text_kept"] == "solo document"
+    # max_count above the corpus-wide multiplicity keeps everything
+    kept_all = dedup.line_dedup(df, max_count=4).collect()
+    assert all(r["n_kept"] == r["n_lines"] for r in kept_all)
+    # plan: no python eval anywhere; line hash shuffles, not line text
+    p = dedup.line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p, p
+
+
+def test_decontaminate(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    train_rows = [
+        # contains two distinct benchmark 8-grams (tokens 1-8 and 2-9)
+        (1, "prefix alpha beta gamma delta epsilon zeta eta theta iota suffix"),
+        # shares only a 7-gram -> clean at n=8
+        (2, "alpha beta gamma delta epsilon zeta eta WRONG iota"),
+        (3, "completely unrelated words about query engines and joins"),
+        (4, "short doc"),
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in dedup.decontaminate(train, bench, n=8).collect()}
+    assert hits == {1: 2}
+    # brute-force cross-check of the distinct-gram intersection count
+    def grams(t, n=8):
+        w = t.lower().split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    bg = grams(bench_text)
+    for did, text in train_rows:
+        expect = len(grams(text) & bg)
+        assert hits.get(did, 0) == expect
+    # the benchmark gram set must be broadcast (train side never shuffles
+    # into the gram join), and nothing is python-eval'd
+    p = (dedup.decontaminate(train, bench, n=8)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in p, p
+    assert "EvalPython" not in p, p
+
+
+def test_bigram_lm_scores(spark):
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b"),
+        (3, "c c c"),
+        (4, "solo"),   # single token: no bigrams -> no output row
+        (5, ""),       # empty: filtered out
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    alpha = 0.5
+    out = {r["doc_id"]: r for r in
+           textstats.bigram_lm_scores(df, alpha=alpha).collect()}
+    assert set(out) == {1, 2, 3}
+    # pure-python reference of the same add-alpha model
+    corpus = {1: "a b a b c", 2: "a b", 3: "c c c", 4: "solo"}
+    toks = {k: v.split() for k, v in corpus.items()}
+    c1, c2 = {}, {}
+    for t in toks.values():
+        for w in t:
+            c1[w] = c1.get(w, 0) + 1
+        for x, y in zip(t, t[1:]):
+            c2[(x, y)] = c2.get((x, y), 0) + 1
+    V = len(c1)
+    for did, t in toks.items():
+        bgs = list(zip(t, t[1:]))
+        if not bgs:
+            continue
+        lps = [np.log((c2[b] + alpha) / (c1[b[0]] + alpha * V)) for b in bgs]
+        assert out[did]["n_bigrams"] == len(bgs)
+        assert out[did]["avg_logp"] == pytest.approx(np.mean(lps), abs=1e-4)
+        assert out[did]["ppl"] == pytest.approx(np.exp(-np.mean(lps)), abs=1e-3)
+    # plan: codegen-native bigrams — the zip array must be materialized
+    # before the explode (ExtractGenerator inlining hazard), no python
+    p = (textstats.bigram_lm_scores(df, alpha=alpha)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Generate explode(__bg" in p, p
+    assert "EvalPython" not in p, p

@@ -54,6 +54,15 @@ def main():
         )
 
     qs, oq = E.queries(), E.oracle_sql()
+    # entries past the driver's 50-row report cap (see extra_queries()
+    # docstring): included here so the full surface is checked locally.
+    # --extra restricts the run to just those.
+    if "--extra" in only:
+        only.discard("--extra")
+        qs, oq = E.extra_queries(), E.extra_oracle_sql()
+    else:
+        qs = {**qs, **E.extra_queries()}
+        oq = {**oq, **E.extra_oracle_sql()}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
