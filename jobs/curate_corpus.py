@@ -33,6 +33,15 @@ def main(argv=None) -> int:
                     help="output parquet dir, partitioned by split")
     ap.add_argument("--threshold", type=float, default=0.8,
                     help="near-dup Jaccard threshold")
+    ap.add_argument("--line-dedup-max-count", type=int, default=None,
+                    help="enable corpus-level line dedup: drop lines "
+                         "occurring in more than this many slots")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet table (doc_id, text) to decontaminate "
+                         "against (8-gram overlap)")
+    ap.add_argument("--max-ppl", type=float, default=None,
+                    help="enable the self-trained bigram-LM gate: drop "
+                         "docs with perplexity above this cap")
     ap.add_argument("--synthetic-docs", type=int, default=0,
                     help="generate N deterministic synthetic docs instead "
                          "of reading --in (smoke/scale testing)")
@@ -73,7 +82,13 @@ def main(argv=None) -> int:
     else:
         ap.error("one of --in or --synthetic-docs is required")
 
-    cfg = CurateConfig(jaccard_threshold=args.threshold)
+    cfg = CurateConfig(
+        jaccard_threshold=args.threshold,
+        line_dedup_max_count=args.line_dedup_max_count,
+        benchmark=(spark.read.parquet(args.benchmark).select("doc_id", "text")
+                   if args.benchmark else None),
+        max_ppl=args.max_ppl,
+    )
     curated = curate(docs, cfg)
 
     if args.out:

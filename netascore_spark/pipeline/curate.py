@@ -2,8 +2,13 @@
 actually runs, wired from the individual operators.
 
     raw documents
+      -> line dedup     (optional, CCNet-style: drop corpus-wide repeated
+                         lines — boilerplate — before any stats are taken)
       -> clean          (PII scrub, repetition/quality signals)
       -> quality gate   (drop boilerplate/junk by the cleaning signals)
+      -> decontaminate  (optional: drop docs sharing n-grams with an
+                         evaluation-benchmark corpus)
+      -> LM gate        (optional: self-trained bigram-LM perplexity cap)
       -> exact dedup    (md5 hash-groupBy, min-id representative)
       -> near-dup drop  (ngram Jaccard pairs -> connected components ->
                          keep each cluster's canonical doc)
@@ -16,9 +21,12 @@ sequences them and decides what to carry between stages.
 Scale notes: stages 1-2 are map-only (scan speed); exact dedup shuffles
 one slim (digest, id) row per doc; the near-dup stage is the bucketed
 candidate join + O(log diameter) component rounds documented in
-``operators/dedup.py``; the split column is a map-only hash.  Nothing in
-the chain collects to the driver except the component fixpoint's one
-scalar per round.
+``operators/dedup.py``; the split column is a map-only hash.  The
+optional stages keep those shapes: line dedup shuffles 8-byte line-hash
+keys plus one id-keyed reassembly join, decontamination broadcasts the
+(small) benchmark gram set and anti-joins an id list, and the LM gate's
+count tables shuffle 8-byte gram keys.  Nothing in the chain collects to
+the driver except the component fixpoint's one scalar per round.
 """
 
 from __future__ import annotations
@@ -50,6 +58,16 @@ class CurateConfig:
     # carry the scrubbed text forward instead of the raw text
     scrub: bool = True
     extra_quality_filter: object = field(default=None)
+    # optional stages (None/default = off, preserving the base chain)
+    # corpus-level line dedup BEFORE stats: lines repeated in more than
+    # this many slots across the corpus are boilerplate and removed
+    line_dedup_max_count: int | None = None
+    # benchmark corpus to decontaminate against (DataFrame with text_col)
+    benchmark: object = field(default=None)
+    decontaminate_n: int = 8
+    # self-trained bigram-LM perplexity cap (docs above it are junk)
+    max_ppl: float | None = None
+    lm_alpha: float = 0.5
 
 
 def curate(docs: DataFrame, cfg: CurateConfig | None = None) -> DataFrame:
@@ -59,6 +77,16 @@ def curate(docs: DataFrame, cfg: CurateConfig | None = None) -> DataFrame:
     than the canonical (min-id) doc."""
     cfg = cfg or CurateConfig()
     t = F.col(cfg.text_col)
+
+    # 0: corpus-level line dedup (optional) — remove boilerplate lines
+    # BEFORE any quality stats, so repeated headers/footers neither mask
+    # nor trigger the gates.  line_dedup emits the reassembled text only;
+    # re-attach the remaining columns on the id key (co-keyed join).
+    if cfg.line_dedup_max_count is not None:
+        ld = dedup.line_dedup(
+            docs, cfg.id_col, cfg.text_col, max_count=cfg.line_dedup_max_count
+        ).select(cfg.id_col, F.col("text_kept").alias(cfg.text_col))
+        docs = docs.drop(cfg.text_col).join(ld, cfg.id_col)
 
     # 1-2: clean + gate (map-only)
     stats = docs.withColumn("rep", cleaning.repetition_stats(t)).withColumn(
@@ -76,6 +104,30 @@ def curate(docs: DataFrame, cfg: CurateConfig | None = None) -> DataFrame:
         gated = gated.filter(cfg.extra_quality_filter)
     if cfg.scrub:
         gated = gated.withColumn(cfg.text_col, cleaning.scrub_pii(t))
+
+    # 2b: benchmark decontamination (optional) — drop any doc sharing an
+    # n-gram with the eval benchmark (the gram set broadcasts; only the
+    # contaminated-id list comes back, anti-joined on the id key)
+    if cfg.benchmark is not None:
+        hits = dedup.decontaminate(
+            gated, cfg.benchmark, cfg.id_col, cfg.text_col, n=cfg.decontaminate_n
+        )
+        gated = gated.join(hits.select(cfg.id_col), cfg.id_col, "left_anti")
+
+    # 2c: LM perplexity gate (optional) — bigram model self-trained on the
+    # gated corpus; keeps the ppl column as a quality signal downstream.
+    # min_tokens >= 2 guarantees every surviving doc has bigrams (docs
+    # without any would drop here by the inner join).
+    if cfg.max_ppl is not None:
+        from ..operators import textstats
+
+        scores = textstats.bigram_lm_scores(
+            gated, cfg.id_col, cfg.text_col, alpha=cfg.lm_alpha
+        )
+        gated = gated.join(
+            scores.filter(F.col("ppl") <= cfg.max_ppl).select(cfg.id_col, "ppl"),
+            cfg.id_col,
+        )
 
     # 3: exact dedup (keep min-id per digest)
     exact = dedup.dedup_exact(gated, cfg.id_col, cfg.text_col)

@@ -46,3 +46,33 @@ def test_curate_no_near_dups_is_noop_on_content(spark, corpus):
     # with an impossible threshold nothing clusters; only exact dup + gate drops
     out = curate(corpus, CurateConfig(jaccard_threshold=1.01, max_dup_line_frac=0.5))
     assert set(r["doc_id"] for r in out.collect()) == {1, 3, 4, 7}
+
+
+def test_curate_optional_stages(spark, corpus):
+    # line dedup: corpus-wide repeated "same" lines vanish from doc 5
+    # BEFORE the dup-line gate runs, so doc 5 now survives (its remaining
+    # unique line passes every gate)
+    cfg = CurateConfig(
+        jaccard_threshold=0.5, max_dup_line_frac=0.5, line_dedup_max_count=1
+    )
+    rows = {r["doc_id"]: r for r in curate(corpus, cfg).collect()}
+    assert 5 in rows
+    # the four repeated "same" lines are gone; only the unique line stays
+    assert rows[5]["text"] == "same line repeated forever and ever"
+
+    # decontamination: a benchmark sharing an 8-gram with docs 1/2/3 wipes
+    # that whole near-dup family out of the corpus
+    bench = spark.createDataFrame(
+        [(999, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    cfg = CurateConfig(jaccard_threshold=0.5, max_dup_line_frac=0.5, benchmark=bench)
+    assert {r["doc_id"] for r in curate(corpus, cfg).collect()} == {4, 7}
+
+    # LM gate: an impossible cap drops everything, a loose one keeps the
+    # base result and carries the ppl column through the chain
+    cfg = CurateConfig(jaccard_threshold=0.5, max_dup_line_frac=0.5, max_ppl=0.0)
+    assert curate(corpus, cfg).count() == 0
+    cfg = CurateConfig(jaccard_threshold=0.5, max_dup_line_frac=0.5, max_ppl=1e9)
+    out = {r["doc_id"]: r for r in curate(corpus, cfg).collect()}
+    assert set(out) == {1, 4, 7}
+    assert all(r["ppl"] > 0 for r in out.values())
