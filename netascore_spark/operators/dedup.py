@@ -252,9 +252,13 @@ def line_dedup(
     Java-regex for the split and a literal for the re-join, so pass a
     regex-free separator (the default newline is).
     """
+    # NULL text coalesces to '' so the one-row-per-document contract holds
+    # (posexplode of a NULL split would silently drop the document)
     lines = _spread(docs).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep, -1)
+        ).alias("pos", "line"),
     ).withColumn("__h", F.xxhash64("line"))
     hot = (
         lines.groupBy("__h")

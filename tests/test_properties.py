@@ -428,3 +428,78 @@ def test_pip_cell_clipped_matches_kernel(spark, ring_pts, hole_pts, probes):
         and ops.point_in_polygon(np.array(p, dtype=float), rings)
     }
     assert hits == expected
+
+
+# ---------------------------------------------------------------------------
+# corpus line dedup / decontamination vs pure-python references
+# ---------------------------------------------------------------------------
+
+_LINE = st.sampled_from(["", "a", "b", "ab", "line x", "boiler plate"])
+
+
+@given(
+    st.lists(st.lists(_LINE, min_size=1, max_size=4), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=25, deadline=None)
+def test_line_dedup_matches_reference(spark, docs_lines, max_count):
+    """line_dedup over arbitrary corpora (tiny line alphabet forces heavy
+    cross-document collisions) must equal the obvious single-machine
+    reference: corpus-wide line counts, per-doc order-preserving filter."""
+    from collections import Counter
+
+    from netascore_spark.operators import dedup
+
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs_lines)]
+    cnt = Counter(l for ls in docs_lines for l in ls)
+    got = {
+        r["doc_id"]: (r["text_kept"], r["n_kept"], r["n_lines"])
+        for r in dedup.line_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            max_count=max_count,
+        ).collect()
+    }
+    exp = {}
+    for i, ls in enumerate(docs_lines):
+        kept = [l for l in ls if cnt[l] <= max_count]
+        exp[i] = ("\n".join(kept), len(kept), len(ls))
+    assert got == exp
+
+
+_TOK = st.sampled_from(["aa", "bb", "cc", "dd"])
+
+
+@given(
+    st.lists(st.lists(_TOK, min_size=1, max_size=6), min_size=2, max_size=8),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=25, deadline=None)
+def test_decontaminate_matches_reference(spark, docs_toks, n):
+    """decontaminate over random corpora (tiny vocab forces overlap) must
+    equal brute-force distinct n-gram intersection counts; even-index docs
+    form the benchmark, odd-index docs the training side."""
+    import re
+
+    from netascore_spark.operators import dedup
+
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(docs_toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter("doc_id % 2 = 0")
+    train = df.filter("doc_id % 2 = 1")
+
+    def grams(text):
+        toks = re.split(r"[ \t\n\f\r]+", text.strip().lower())
+        if len(toks) < n:
+            return set()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    bg = set().union(*(grams(t) for i, t in rows if i % 2 == 0))
+    exp = {}
+    for i, t in rows:
+        if i % 2 == 1:
+            h = len(grams(t) & bg)
+            if h:
+                exp[i] = h
+    got = {r["doc_id"]: r["n_hits"]
+           for r in dedup.decontaminate(train, bench, n=n).collect()}
+    assert got == exp

@@ -654,10 +654,14 @@ def test_line_dedup(spark):
         (2, "boiler\nunique line two"),
         (3, "boiler\nboiler"),           # every line duplicated -> empty doc
         (4, "solo document"),
+        (5, None),                       # NULL text must still get a row
     ]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    )
     out = {r["doc_id"]: r for r in dedup.line_dedup(df).collect()}
-    assert len(out) == 4  # fully-deduped docs still get a row
+    assert len(out) == 5  # fully-deduped and NULL docs still get a row
+    assert out[5]["text_kept"] == "" and out[5]["n_lines"] == 1
     assert out[1]["text_kept"] == "z line\na line"
     assert (out[1]["n_kept"], out[1]["n_lines"]) == (2, 3)
     assert out[2]["text_kept"] == "unique line two"
