@@ -2265,10 +2265,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 # ===========================================================================
 #
 # The driver reports at most 50 queries()/oracle_sql() entries per round
-# (round 4 silently dropped the 51st), so operators landed after the cap
-# was reached live here: same (spark_fn, oracle_sql) contract, checked by
-# the same comparator via ``python tools/check_oracles.py --extra`` and by
-# the hermetic DuckDB-parity tests in tests/test_training_ops.py.
+# (round 4 silently dropped the 51st), so the surface past the cap lives
+# here: same (spark_fn, oracle_sql) contract, checked by the same
+# comparator via ``python tools/check_oracles.py --extra`` and by the
+# hermetic parity tests in tests/.  The capped registry prioritizes
+# SQL-checked entries — image_decode/frame_sample (no SQL oracle possible,
+# pytest-gated) were moved out here to make room for line_dedup/lm_score.
 
 def q_line_dedup(spark, sf_dir):
     from netascore_spark.operators.dedup import line_dedup
@@ -2368,17 +2370,16 @@ FROM scored GROUP BY doc_id
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
-        "lm_score": q_lm_score,
+        "image_decode": q_image_decode,
+        "frame_sample": q_frame_sample,
     }
 
 
 def extra_oracle_sql() -> dict[str, str]:
     return {
-        "line_dedup": _LINE_DEDUP_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
-        "lm_score": _LM_SCORE_ORACLE,
+        # image_decode / frame_sample: rows-only (see oracle_sql() note)
     }
 
 
@@ -2436,9 +2437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_features": q_multimodal_features,
-        "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
-        "frame_sample": q_frame_sample,
+        # corpus-curation ops (SQL-checked; see also extra_queries below)
+        "line_dedup": q_line_dedup,
+        "lm_score": q_lm_score,
     }
 
 
@@ -2491,13 +2493,18 @@ def oracle_sql() -> dict[str, str]:
         "network_nodes": _NETWORK_NODES_ORACLE,
         "edge_attributes": _EDGE_ATTRIBUTES_ORACLE,
         "score_network": _SCORE_NETWORK_ORACLE,
-        # remaining rows-only entries:
-        # - image_decode / frame_sample: the decode path is zlib INFLATE of
-        #   the PNG IDAT stream (LZ77 + Huffman) — not expressible in ANSI
-        #   SQL, and even a stored-block PNG needs CRC32/adler32 polynomial
-        #   arithmetic per byte; gated instead by pytest round-trip tests
-        #   against the pure-python codec (tests/test_training_ops.py).
-        # - pages_pipeline / knn variants beyond knn_join: geometry kernel
-        #   over fixture WKB (the underlying machinery is oracled by
+        "line_dedup": _LINE_DEDUP_ORACLE,
+        "lm_score": _LM_SCORE_ORACLE,
+        # remaining rows-only entry:
+        # - pages_pipeline: geometry kernel over fixture WKB — kept in the
+        #   capped registry as driver-side evidence the flagship composed
+        #   graft query runs (its machinery is oracled piecewise by
         #   pip_join / knn_join / page_extract / hilbert_key).
+        # image_decode / frame_sample moved to extra_queries() when the
+        # registry hit the driver's 50-row cap: their decode path is zlib
+        # INFLATE of the PNG IDAT stream (LZ77 + Huffman) — not expressible
+        # in ANSI SQL (even a stored-block PNG needs CRC32/adler32
+        # polynomial arithmetic per byte); gated by pytest round-trip tests
+        # against the pure-python codec (tests/test_training_ops.py) and
+        # run rows-only by tools/check_oracles.py.
     }
