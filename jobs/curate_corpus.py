@@ -42,6 +42,14 @@ def main(argv=None) -> int:
     ap.add_argument("--max-ppl", type=float, default=None,
                     help="enable the self-trained bigram-LM gate: drop "
                          "docs with perplexity above this cap")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="snapshot each stage here (per-partition lineage "
+                         "+ row counts); restarted runs resume after the "
+                         "last committed stage")
+    ap.add_argument("--on-existing", default="skip",
+                    choices=["skip", "delete", "abort"],
+                    help="what to do with existing stage snapshots "
+                         "(skip=resume, delete=recompute new version)")
     ap.add_argument("--synthetic-docs", type=int, default=0,
                     help="generate N deterministic synthetic docs instead "
                          "of reading --in (smoke/scale testing)")
@@ -89,7 +97,13 @@ def main(argv=None) -> int:
                    if args.benchmark else None),
         max_ppl=args.max_ppl,
     )
-    curated = curate(docs, cfg)
+    ck = None
+    if args.checkpoint_dir:
+        from netascore_spark.pipeline.checkpoint import Checkpointer
+
+        ck = Checkpointer(spark, args.checkpoint_dir,
+                          on_existing=args.on_existing)
+    curated = curate(docs, cfg, checkpointer=ck)
 
     if args.out:
         curated.write.mode("overwrite").partitionBy("split").parquet(args.out)

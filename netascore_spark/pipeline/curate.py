@@ -70,13 +70,30 @@ class CurateConfig:
     lm_alpha: float = 0.5
 
 
-def curate(docs: DataFrame, cfg: CurateConfig | None = None) -> DataFrame:
+def curate(
+    docs: DataFrame,
+    cfg: CurateConfig | None = None,
+    checkpointer=None,
+) -> DataFrame:
     """Returns the curated corpus: one row per kept document with
     (id, text, split, quality-signal columns).  Dropped docs: quality-gate
     failures, exact duplicates, and near-duplicate cluster members other
-    than the canonical (min-id) doc."""
+    than the canonical (min-id) doc.
+
+    ``checkpointer`` (a ``pipeline.checkpoint.Checkpointer``) makes the
+    chain RESUMABLE mid-pipeline: the gated corpus, the exact-dedup
+    result, and the near-dup survivors each commit a snapshot (with
+    per-partition lineage + row counts) and later stages read from it —
+    with ``on_existing="skip"`` a restarted run resumes after the last
+    committed stage instead of recomputing, the same semantics the
+    network pipeline gets from the CLI's checkpoint_dir."""
     cfg = cfg or CurateConfig()
     t = F.col(cfg.text_col)
+
+    def ckpt(df: DataFrame, name: str, upstream: list[str]) -> DataFrame:
+        if checkpointer is None:
+            return df
+        return checkpointer.materialize(df, name, upstream=upstream)
 
     # 0: corpus-level line dedup (optional) — remove boilerplate lines
     # BEFORE any quality stats, so repeated headers/footers neither mask
@@ -129,8 +146,13 @@ def curate(docs: DataFrame, cfg: CurateConfig | None = None) -> DataFrame:
             cfg.id_col,
         )
 
+    # stage snapshot: everything above is map-heavy scan work over the
+    # raw corpus — the first thing a resumed run should not repeat
+    gated = ckpt(gated, "curate_gated", upstream=["documents"])
+
     # 3: exact dedup (keep min-id per digest)
     exact = dedup.dedup_exact(gated, cfg.id_col, cfg.text_col)
+    exact = ckpt(exact, "curate_exact", upstream=["curate_gated"])
 
     # 4: near-dup clusters — drop every cluster member except the canonical
     clusters = dedup.dedup_clusters(
@@ -145,6 +167,7 @@ def curate(docs: DataFrame, cfg: CurateConfig | None = None) -> DataFrame:
         cfg.id_col
     )
     kept = exact.join(losers, cfg.id_col, "left_anti")
+    kept = ckpt(kept, "curate_kept", upstream=["curate_exact"])
 
     # 5: deterministic splits keyed on content (stable under re-ingestion
     # of the same doc at a different position)

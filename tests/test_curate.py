@@ -76,3 +76,33 @@ def test_curate_optional_stages(spark, corpus):
     out = {r["doc_id"]: r for r in curate(corpus, cfg).collect()}
     assert set(out) == {1, 4, 7}
     assert all(r["ppl"] > 0 for r in out.values())
+
+
+def test_curate_resumable_from_checkpoints(spark, corpus, tmp_path):
+    from netascore_spark.pipeline.checkpoint import Checkpointer
+
+    cfg = CurateConfig(jaccard_threshold=0.5, max_dup_line_frac=0.5)
+    ck = Checkpointer(spark, str(tmp_path), on_existing="skip")
+    out1 = sorted(
+        (r["doc_id"], r["split"])
+        for r in curate(corpus, cfg, checkpointer=ck).collect()
+    )
+    # every stage committed a snapshot with lineage + row counts
+    for name, up in [
+        ("curate_gated", ["documents"]),
+        ("curate_exact", ["curate_gated"]),
+        ("curate_kept", ["curate_exact"]),
+    ]:
+        meta = ck.lineage(name)
+        assert meta["upstream"] == up
+        assert meta["rows"] == sum(meta["partition_rows"])
+    # resume: rerun against a DIFFERENT (gutted) input — with
+    # on_existing=skip every stage reads its snapshot, so the output must
+    # equal the first run, proving nothing upstream recomputed
+    ck2 = Checkpointer(spark, str(tmp_path), on_existing="skip")
+    gutted = corpus.filter("doc_id = 6")
+    out2 = sorted(
+        (r["doc_id"], r["split"])
+        for r in curate(gutted, cfg, checkpointer=ck2).collect()
+    )
+    assert out2 == out1 and out1  # non-trivial result
