@@ -2368,9 +2368,52 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_dup_spans(spark, sf_dir):
+    from netascore_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(_t(spark, sf_dir, "documents"), k=8, w=4, min_df=2)
+
+
+# same k-gram hash + window-minimum machinery as _WINNOW_ORACLE, extended
+# with the position of each window's (first) minimum; per-doc struct dedup
+# happens at row level (SELECT DISTINCT) because DuckDB's list_distinct
+# does not support struct elements — equivalent to the engine's per-doc
+# array_distinct since (doc, pos, fp) rows are unique either way.
+_DUP_SPANS_ORACLE = """
+WITH g AS (
+  SELECT doc_id, text, length(text) - 8 + 1 AS ng FROM documents
+), h AS (
+  SELECT doc_id, ng,
+    list_transform(range(1, ng + 1), i ->
+      ((('0x' || substr(md5(substr(text,i,8)),15,2) || substr(md5(substr(text,i,8)),13,2)
+        || substr(md5(substr(text,i,8)),11,2) || substr(md5(substr(text,i,8)),9,2)
+        || substr(md5(substr(text,i,8)),7,2)  || substr(md5(substr(text,i,8)),5,2)
+        || substr(md5(substr(text,i,8)),3,2)  || substr(md5(substr(text,i,8)),1,2))::UBIGINT::HUGEINT)
+       % 2305843009213693951::HUGEINT)::BIGINT) AS hs
+  FROM g WHERE ng >= 1
+), sel AS (
+  SELECT doc_id,
+    CASE WHEN ng < 4 THEN
+      [struct_pack(pos := list_position(hs, list_min(hs)), fp := list_min(hs))]
+    ELSE list_transform(range(1, ng - 4 + 2),
+      j -> struct_pack(pos := j + list_position(hs[j: j + 3], list_min(hs[j: j + 3])) - 1,
+                       fp := list_min(hs[j: j + 3]))) END AS fps
+  FROM h
+), fps AS (
+  SELECT DISTINCT doc_id, (u).pos AS pos, (u).fp AS fp
+  FROM (SELECT doc_id, unnest(fps) AS u FROM sel)
+), docfreq AS (
+  SELECT fp, count(*) AS df FROM (SELECT DISTINCT doc_id, fp FROM fps) GROUP BY fp
+)
+SELECT f.doc_id, f.pos, f.fp, d.df
+FROM fps f JOIN docfreq d USING (fp) WHERE d.df >= 2
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "decontaminate": q_decontaminate,
+        "dup_spans": q_dup_spans,
         "image_decode": q_image_decode,
         "frame_sample": q_frame_sample,
     }
@@ -2379,6 +2422,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extra_oracle_sql() -> dict[str, str]:
     return {
         "decontaminate": _DECONTAMINATE_ORACLE,
+        "dup_spans": _DUP_SPANS_ORACLE,
         # image_decode / frame_sample: rows-only (see oracle_sql() note)
     }
 

@@ -628,3 +628,51 @@ def simhash_pairs(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_df: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate detection — the winnowing-based analog of
+    suffix-array substring dedup: locate spans whose content recurs across
+    the corpus (licence boilerplate, templated paragraphs, quoted chunks),
+    finer-grained than document-level near-dup.
+
+    Returns (id, pos, fp, df): ``pos`` is the 1-based start of a k-char
+    gram whose winnowing fingerprint ``fp`` occurs in ``df`` >= ``min_df``
+    distinct documents.  The winnowing guarantee makes this a net, not a
+    sample: every shared substring of length >= k + w - 1 between two
+    documents puts at least one row inside the shared region in BOTH docs
+    — callers mask/strip around the reported positions.
+
+    Scale shape: fingerprinting is map-only (one Arrow-free native pass);
+    the doc-frequency count shuffles one slim distinct (id, fp) row per
+    doc-fingerprint (8-byte keys, partial-aggregated) and the final join
+    is fp-keyed — no text ever shuffles, no all-pairs stage exists.  Hot
+    fingerprints (boilerplate in millions of docs) carry one count row
+    each; the per-doc output rows scale with the DOC's own span count.
+    """
+    from .textstats import winnow_fingerprint_positions
+
+    arr = winnow_fingerprint_positions(F.col(text_col), k, w)
+    # materialize the struct array before explode (ExtractGenerator rule)
+    base = _spread(docs).select(F.col(id_col), arr.alias("__fps"))
+    fps = base.select(F.col(id_col), F.explode("__fps").alias("__f")).select(
+        F.col(id_col),
+        F.col("__f.pos").alias("pos"),
+        F.col("__f.fp").alias("fp"),
+    )
+    docfreq = (
+        fps.select(id_col, "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("df"))
+    )
+    return fps.join(docfreq.filter(F.col("df") >= min_df), "fp").select(
+        id_col, "pos", "fp", "df"
+    )

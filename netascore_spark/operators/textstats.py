@@ -290,3 +290,48 @@ def bigram_lm_scores(
             F.round(F.exp(-F.avg(logp)), 3).alias("ppl"),
         )
     )
+
+
+def winnow_fingerprint_positions(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprints WITH POSITIONS: array<struct<pos:int,
+    fp:long>> where ``pos`` is the 1-based start of the k-gram whose hash
+    was each window's minimum (first occurrence on ties — the same rule in
+    the DuckDB oracle's ``list_position``).  Positions turn the
+    fingerprint SET (``winnow_fingerprints``) into a substring LOCATOR:
+    any substring of length >= k + w - 1 shared between two documents
+    yields a common fingerprint in both, and ``pos`` points inside the
+    shared region — the input to span-level dedup (``dedup.
+    duplicated_spans``).  Same hash, same map-only shape, same inlining
+    caveats as ``winnow_fingerprints``."""
+    ng = F.length(text) - F.lit(k - 1)
+    ng_c = F.greatest(ng, F.lit(1))
+    md5s = F.transform(
+        F.sequence(F.lit(1), ng_c), lambda i: F.md5(text.substr(i, F.lit(k)))
+    )
+    hs = F.transform(md5s, _hex_le61)
+
+    def _windows(hsv: Column) -> Column:
+        def win(j: Column) -> Column:
+            sl = F.slice(hsv, j, w)
+            mn = F.array_min(sl)
+            return F.struct(
+                (j + F.array_position(sl, mn) - 1).cast("int").alias("pos"),
+                mn.alias("fp"),
+            )
+
+        few = F.array(
+            F.struct(
+                F.array_position(hsv, F.array_min(hsv)).cast("int").alias("pos"),
+                F.array_min(hsv).alias("fp"),
+            )
+        )
+        full = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(ng - F.lit(w - 1), F.lit(1))), win
+            )
+        )
+        return F.when(ng < w, few).otherwise(full)
+
+    return F.when(
+        ng < 1, F.array().cast("array<struct<pos:int,fp:bigint>>")
+    ).otherwise(F.transform(F.array(hs), _windows)[0])

@@ -743,3 +743,78 @@ def test_bigram_lm_scores(spark):
          ._jdf.queryExecution().executedPlan().toString())
     assert "Generate explode(__bg" in p, p
     assert "EvalPython" not in p, p
+
+
+def _ref_winnow_positions(text, k=8, w=4):
+    import hashlib
+    P = 2305843009213693951
+    n = len(text) - k + 1
+    if n < 1:
+        return []
+    hs = []
+    for i in range(n):
+        d = hashlib.md5(text[i:i + k].encode()).hexdigest()
+        rev = d[14:16] + d[12:14] + d[10:12] + d[8:10] + d[6:8] + d[4:6] + d[2:4] + d[0:2]
+        hs.append(int(rev, 16) % P)
+    if n < w:
+        m = min(hs)
+        return [(hs.index(m) + 1, m)]
+    out, seen = [], set()
+    for j in range(n - w + 1):
+        sl = hs[j:j + w]
+        m = min(sl)
+        t = (j + sl.index(m) + 1, m)
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def test_winnow_positions_match_reference(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "short"),                     # len < k: empty
+        (3, "exactly8!"),                 # ng=2 < w: global-min branch
+        (4, "aaaaaaaaaaaaaaaa"),          # all k-grams identical (ties)
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: [(s["pos"], s["fp"]) for s in r["fps"]]
+        for r in df.select(
+            "doc_id",
+            textstats.winnow_fingerprint_positions(F.col("text")).alias("fps"),
+        ).collect()
+    }
+    for did, text in rows:
+        assert got[did] == _ref_winnow_positions(text), (did, text)
+
+
+def test_duplicated_spans(spark):
+    shared = "LICENSE BOILERPLATE TEXT"     # len 24 >= k + w - 1 = 11
+    rows = [
+        (1, "unique preamble one. " + shared + " trailing alpha."),
+        (2, "другой and different lead-in: " + shared + " epilogue beta."),
+        (3, "totally unrelated content with no repeated material at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = dedup.duplicated_spans(df, k=8, w=4, min_df=2).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # winnowing guarantee: both sharing docs report a common fingerprint
+    # with a position INSIDE the shared substring; doc 3 reports nothing
+    assert 3 not in by_doc and set(by_doc) == {1, 2}
+    common = {r["fp"] for r in by_doc[1]} & {r["fp"] for r in by_doc[2]}
+    assert common
+    for did, text in rows[:2]:
+        lo = text.index(shared) + 1
+        hi = lo + len(shared) - 8   # last k-gram start fully inside
+        hits = [r for r in by_doc[did]
+                if r["fp"] in common and lo <= r["pos"] <= hi]
+        assert hits, (did, by_doc[did])
+        assert all(r["df"] == 2 for r in hits)
+    # no python eval in the plan
+    p = (dedup.duplicated_spans(df, k=8, w=4)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in p, p
