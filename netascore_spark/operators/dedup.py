@@ -637,6 +637,7 @@ def duplicated_spans(
     k: int = 8,
     w: int = 4,
     min_df: int = 2,
+    hash: str = "md5_61",
 ) -> DataFrame:
     """Substring-level duplicate detection — the winnowing-based analog of
     suffix-array substring dedup: locate spans whose content recurs across
@@ -657,9 +658,9 @@ def duplicated_spans(
     fingerprints (boilerplate in millions of docs) carry one count row
     each; the per-doc output rows scale with the DOC's own span count.
     """
-    from .textstats import winnow_fingerprint_positions
+    from .textstats import winnow_fingerprint_positions, winnow_fingerprints
 
-    arr = winnow_fingerprint_positions(F.col(text_col), k, w)
+    arr = winnow_fingerprint_positions(F.col(text_col), k, w, hash=hash)
     # materialize the struct array before explode (ExtractGenerator rule)
     base = _spread(docs).select(F.col(id_col), arr.alias("__fps"))
     fps = base.select(F.col(id_col), F.explode("__fps").alias("__f")).select(
@@ -667,9 +668,18 @@ def duplicated_spans(
         F.col("__f.pos").alias("pos"),
         F.col("__f.fp").alias("fp"),
     )
+    # The doc-frequency branch doesn't need positions: the SET variant
+    # (winnow_fingerprints) emits per-doc-distinct fingerprints directly,
+    # skipping the argmin work AND the row-level distinct shuffle the
+    # positioned rows would need.  Identical fp values by construction
+    # (same _gram_hashes, same window minima).  Like ngram_jaccard_pairs'
+    # double shingle build, the two map branches run concurrently and an
+    # in-operator persist of the positioned rows is exactly the footprint
+    # to avoid at corpus scale.
+    set_arr = winnow_fingerprints(F.col(text_col), k, w, hash=hash)
+    set_base = _spread(docs).select(set_arr.alias("__sfps"))
     docfreq = (
-        fps.select(id_col, "fp")
-        .distinct()
+        set_base.select(F.explode("__sfps").alias("fp"))
         .groupBy("fp")
         .agg(F.count("*").alias("df"))
     )

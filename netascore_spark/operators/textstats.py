@@ -116,7 +116,29 @@ def _hex_le61(h: Column) -> Column:
     ).cast("long")
 
 
-def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+def _gram_hashes(text: Column, k: int, ng_c: Column, hash: str) -> Column:
+    """Per-k-gram hash array.  ``md5_61``: two-stage transform — ONE md5
+    hex string per k-gram, then the 61-bit fold; inlining
+    _hex_le61(md5(...)) directly would leave 8 copies of md5(substr(...))
+    in the tree (one per hex byte-pair), and codegen does not CSE across
+    them.  ``xxhash64``: one native call per gram (~10x cheaper), for
+    paths that don't need DuckDB-oracle hash parity."""
+    if hash == "xxhash64":
+        return F.transform(
+            F.sequence(F.lit(1), ng_c),
+            lambda i: F.xxhash64(text.substr(i, F.lit(k))),
+        )
+    if hash != "md5_61":
+        raise ValueError(f"winnowing: unknown hash {hash!r}")
+    md5s = F.transform(
+        F.sequence(F.lit(1), ng_c), lambda i: F.md5(text.substr(i, F.lit(k)))
+    )
+    return F.transform(md5s, _hex_le61)
+
+
+def winnow_fingerprints(
+    text: Column, k: int = 8, w: int = 4, hash: str = "md5_61"
+) -> Column:
     """Winnowing fingerprint set: hash every character k-gram, slide a
     w-window over the hash sequence, keep each window's minimum, dedup.
 
@@ -128,14 +150,7 @@ def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
     """
     ng = F.length(text) - F.lit(k - 1)
     ng_c = F.greatest(ng, F.lit(1))  # keep sequence() ascending on short docs
-    # two-stage transform: materialize ONE md5 hex string per k-gram, then
-    # fold it to the 61-bit value — inlining _hex_le61(md5(...)) directly
-    # would leave 8 copies of md5(substr(...)) in the tree (one per hex
-    # byte-pair), and codegen does not CSE across them
-    md5s = F.transform(
-        F.sequence(F.lit(1), ng_c), lambda i: F.md5(text.substr(i, F.lit(k)))
-    )
-    hs = F.transform(md5s, _hex_le61)
+    hs = _gram_hashes(text, k, ng_c, hash)
 
     # CRITICAL: bind hs as a LAMBDA VARIABLE before windowing.  Referencing
     # the hs expression inside the window transform would INLINE it, and
@@ -292,7 +307,9 @@ def bigram_lm_scores(
     )
 
 
-def winnow_fingerprint_positions(text: Column, k: int = 8, w: int = 4) -> Column:
+def winnow_fingerprint_positions(
+    text: Column, k: int = 8, w: int = 4, hash: str = "md5_61"
+) -> Column:
     """Winnowing fingerprints WITH POSITIONS: array<struct<pos:int,
     fp:long>> where ``pos`` is the 1-based start of the k-gram whose hash
     was each window's minimum (first occurrence on ties — the same rule in
@@ -301,23 +318,38 @@ def winnow_fingerprint_positions(text: Column, k: int = 8, w: int = 4) -> Column
     any substring of length >= k + w - 1 shared between two documents
     yields a common fingerprint in both, and ``pos`` points inside the
     shared region — the input to span-level dedup (``dedup.
-    duplicated_spans``).  Same hash, same map-only shape, same inlining
-    caveats as ``winnow_fingerprints``."""
+    duplicated_spans``).  Same map-only shape and inlining caveats as
+    ``winnow_fingerprints``.
+
+    ``hash``: ``"md5_61"`` is the DuckDB-oracle-parity hash (md5 hex fold
+    mod 2^61-1 — ~35 interpreted expression evals per k-gram); the
+    winnowing GUARANTEE is hash-agnostic, so ``"xxhash64"`` (one native
+    call per k-gram, measured ~10x) is the 100 TB path — pick it whenever
+    cross-engine replay of the exact fingerprint values isn't needed."""
     ng = F.length(text) - F.lit(k - 1)
     ng_c = F.greatest(ng, F.lit(1))
-    md5s = F.transform(
-        F.sequence(F.lit(1), ng_c), lambda i: F.md5(text.substr(i, F.lit(k)))
-    )
-    hs = F.transform(md5s, _hex_le61)
+    hs = _gram_hashes(text, k, ng_c, hash)
 
     def _windows(hsv: Column) -> Column:
-        def win(j: Column) -> Column:
-            sl = F.slice(hsv, j, w)
-            mn = F.array_min(sl)
-            return F.struct(
-                (j + F.array_position(sl, mn) - 1).cast("int").alias("pos"),
-                mn.alias("fp"),
-            )
+        # Window scan in the zip-of-shifted-slices form (the same
+        # codegen-native rewrite ngram_jaccard_pairs uses for shingles):
+        # the naive per-window `slice + array_min + array_position` does
+        # three array traversals AND a w-element allocation per window —
+        # all interpreted — which profiled as the dominant dup_spans cost
+        # (not the hash).  Here the w shifted slices zip into one struct
+        # array and each window is ONE lambda call doing a `least` plus a
+        # first-match when-cascade: same minimum, same first-occurrence
+        # tie-break as array_position, ~3x end-to-end.
+        m = F.greatest(ng - F.lit(w - 1), F.lit(0))  # total length, see ngram
+        zipped = F.arrays_zip(*[F.slice(hsv, i + 1, m) for i in range(w)])
+
+        def win(s: Column, j: Column) -> Column:
+            fps = [s[str(i)] for i in range(w)]
+            mn = F.least(*fps)
+            pos = F.when(fps[0] == mn, j + 1)
+            for i in range(1, w):
+                pos = pos.when(fps[i] == mn, j + i + 1)
+            return F.struct(pos.cast("int").alias("pos"), mn.alias("fp"))
 
         few = F.array(
             F.struct(
@@ -325,11 +357,7 @@ def winnow_fingerprint_positions(text: Column, k: int = 8, w: int = 4) -> Column
                 F.array_min(hsv).alias("fp"),
             )
         )
-        full = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(ng - F.lit(w - 1), F.lit(1))), win
-            )
-        )
+        full = F.array_distinct(F.transform(zipped, win))
         return F.when(ng < w, few).otherwise(full)
 
     return F.when(

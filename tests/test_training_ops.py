@@ -818,3 +818,29 @@ def test_duplicated_spans(spark):
     p = (dedup.duplicated_spans(df, k=8, w=4)
          ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in p, p
+
+
+def test_duplicated_spans_xxhash_fast_path(spark):
+    # the winnowing guarantee is hash-agnostic: the native-xxhash64 scale
+    # path must locate the same planted shared substring
+    shared = "LICENSE BOILERPLATE TEXT"
+    rows = [
+        (1, "unique preamble one. " + shared + " trailing alpha."),
+        (2, "another lead-in entirely: " + shared + " epilogue beta."),
+        (3, "totally unrelated content with no repeated material at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = dedup.duplicated_spans(df, k=8, w=4, min_df=2, hash="xxhash64").collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    common = {r["fp"] for r in by_doc[1]} & {r["fp"] for r in by_doc[2]}
+    assert common
+    for did, text in rows[:2]:
+        lo = text.index(shared) + 1
+        hi = lo + len(shared) - 8
+        assert any(r["fp"] in common and lo <= r["pos"] <= hi
+                   for r in by_doc[did]), by_doc[did]
+    with pytest.raises(ValueError):
+        textstats.winnow_fingerprint_positions(F.lit("x"), hash="nope")

@@ -74,6 +74,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--ops", choices=["chain", "new"], default="chain",
+                    help="chain = exact/ngram/components (the dedup "
+                         "clustering chain); new = line_dedup / "
+                         "decontaminate / lm_score / dup_spans")
     args = ap.parse_args()
 
     import sys
@@ -97,7 +101,73 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     windows: dict[str, tuple[float, float]] = {}
+    counts: dict[str, int] = {}
     c_before = canary()
+
+    if args.ops == "new":
+        from pyspark.sql import functions as F
+        from netascore_spark.operators import textstats
+
+        # derive a 6-line view (10 words/line) so corpus-level line dedup
+        # has real line structure; planted near-dups share the unmutated
+        # half of their lines, exact dups share all of them
+        lined = docs.withColumn(
+            "text",
+            F.regexp_replace(F.col("text"), r"((?:\S+ ){9}\S+) ", "$1\n"),
+        )
+        bench = docs.filter(F.col("doc_id") % 1001 == 0)
+        with Sampler() as sampler:
+            t0 = time.time()
+            counts["line_dedup"] = dedup.line_dedup(lined).count()
+            timings["line_dedup"] = round(time.time() - t0, 3)
+            windows["line_dedup"] = (t0, time.time())
+
+            t0 = time.time()
+            counts["decontaminate"] = dedup.decontaminate(
+                docs.filter(F.col("doc_id") % 1001 != 0), bench, n=8
+            ).count()
+            timings["decontaminate"] = round(time.time() - t0, 3)
+            windows["decontaminate"] = (t0, time.time())
+
+            t0 = time.time()
+            counts["lm_score"] = textstats.bigram_lm_scores(docs).count()
+            timings["lm_score"] = round(time.time() - t0, 3)
+            windows["lm_score"] = (t0, time.time())
+
+            t0 = time.time()
+            # native-xxhash64 scale path (the md5_61 hash exists for
+            # DuckDB-oracle parity and is ~10x slower — see textstats)
+            counts["dup_spans"] = dedup.duplicated_spans(
+                docs, k=8, w=4, min_df=2, hash="xxhash64"
+            ).count()
+            timings["dup_spans"] = round(time.time() - t0, 3)
+            windows["dup_spans"] = (t0, time.time())
+        c_after = canary()
+        bad = sampler.degraded_intervals()
+        degraded = sorted(
+            q for q, (w0, w1) in windows.items()
+            if any(lo < w1 and w0 < hi for lo, hi in bad)
+        )
+        clean = [d for *_, d in sampler.samples if d <= sampler.nominal_s]
+        total = round(sum(timings.values()), 3)
+        print(json.dumps({
+            "metric": "data-prep new-ops wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "cores": args.cores,
+            "n_docs": args.docs,
+            "counts": counts,
+            "docs_per_sec": round(args.docs / total, 1),
+            "gate": "continuous canary (scaling_gated2.Sampler)",
+            "gate_nominal_s": NOMINAL_S,
+            "canary_before_s": round(c_before, 2),
+            "canary_after_s": round(c_after, 2),
+            "canary_worst_clean_s": round(max(clean), 2) if clean else None,
+            "degraded_queries": degraded,
+        }))
+        spark.stop()
+        return
 
     with Sampler() as sampler:
         t0 = time.time()
