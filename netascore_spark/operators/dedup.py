@@ -686,3 +686,62 @@ def duplicated_spans(
     return fps.join(docfreq.filter(F.col("df") >= min_df), "fp").select(
         id_col, "pos", "fp", "df"
     )
+
+
+def mask_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    fill: str = " ",
+) -> DataFrame:
+    """Apply ``duplicated_spans`` output back onto the corpus: every
+    reported k-gram [pos, pos+k) is overwritten with ``fill`` characters,
+    removing cross-corpus boilerplate content in place while preserving
+    document length and the positions of the surviving text (so token
+    offsets computed before masking stay valid).
+
+    Returns the input documents with ``text`` masked and an
+    ``n_masked_chars`` count; documents without spans pass through
+    untouched.  Pass the SAME ``k`` the spans were generated with.
+
+    Scale shape: spans aggregate to one position-array row per affected
+    document (bounded by the doc's own span count), join back on the id
+    key, and the rewrite is one Arrow-batched pandas UDF over (text,
+    positions) — the only Python in the operator, unavoidable for
+    per-index string surgery and proportional to affected docs only.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_set("pos").alias("__positions")
+    )
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("text", T.StringType()),
+        T.StructField("n_masked_chars", T.IntegerType()),
+    ]))
+    def _mask(text: pd.Series, positions: pd.Series) -> pd.DataFrame:
+        out_t, out_n = [], []
+        for t, ps in zip(text, positions):
+            if t is None or ps is None or len(ps) == 0:
+                out_t.append(t)
+                out_n.append(0)
+                continue
+            chars = list(t)
+            hit = set()
+            for p in ps:
+                hit.update(range(p - 1, min(p - 1 + k, len(chars))))
+            for i in hit:
+                chars[i] = fill
+            out_t.append("".join(chars))
+            out_n.append(len(hit))
+        return pd.DataFrame({"text": out_t, "n_masked_chars": out_n})
+
+    joined = docs.join(per_doc, id_col, "left")
+    masked = _mask(F.col(text_col), F.col("__positions"))
+    return (
+        joined.withColumn("__m", masked)
+        .withColumn(text_col, F.col("__m.text"))
+        .withColumn("n_masked_chars", F.coalesce(F.col("__m.n_masked_chars"), F.lit(0)))
+        .drop("__positions", "__m")
+    )

@@ -844,3 +844,34 @@ def test_duplicated_spans_xxhash_fast_path(spark):
                    for r in by_doc[did]), by_doc[did]
     with pytest.raises(ValueError):
         textstats.winnow_fingerprint_positions(F.lit("x"), hash="nope")
+
+
+def test_mask_duplicated_spans(spark):
+    shared = "LICENSE BOILERPLATE TEXT"
+    rows = [
+        (1, "unique preamble one. " + shared + " trailing alpha."),
+        (2, "another lead-in entirely: " + shared + " epilogue beta."),
+        (3, "totally unrelated content with no repeated material at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = dedup.duplicated_spans(df, k=8, w=4, min_df=2)
+    out = {r["doc_id"]: r for r in
+           dedup.mask_duplicated_spans(df, spans, k=8).collect()}
+    # length preserved everywhere; untouched doc passes through verbatim
+    for did, text in rows:
+        assert len(out[did]["text"]) == len(text)
+    assert out[3]["text"] == rows[2][1] and out[3]["n_masked_chars"] == 0
+    # every reported span char is blanked; the doc-unique prefix survives
+    for did, text in rows[:2]:
+        lo = text.index(shared)
+        masked = out[did]["text"]
+        assert out[did]["n_masked_chars"] > 0
+        # at least one char inside the shared region went blank; the
+        # visible diff can be smaller than the masked count only because
+        # some masked positions already held the fill char
+        diff = sum(1 for a, b in zip(text, masked) if a != b)
+        assert 0 < diff <= out[did]["n_masked_chars"]
+        assert all(b == " " for a, b in zip(text, masked) if a != b)
+        assert any(masked[i] == " " and text[i] != " "
+                   for i in range(lo, lo + len(shared)))
+        assert masked[:5] == text[:5]
