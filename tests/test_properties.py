@@ -503,3 +503,42 @@ def test_decontaminate_matches_reference(spark, docs_toks, n):
     got = {r["doc_id"]: r["n_hits"]
            for r in dedup.decontaminate(train, bench, n=n).collect()}
     assert got == exp
+
+
+_WORD = st.sampled_from(["aa", "bb", "cc"])
+
+
+@given(st.lists(st.lists(_WORD, min_size=1, max_size=8), min_size=1, max_size=8))
+@settings(max_examples=20, deadline=None)
+def test_bigram_lm_matches_reference(spark, docs_toks):
+    """bigram_lm_scores over random tiny-vocab corpora must match the
+    numpy reference of the same add-alpha model (counts, V, avg log-prob,
+    perplexity) for every document with at least one bigram."""
+    from netascore_spark.operators import textstats
+
+    alpha = 0.5
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(docs_toks)]
+    got = {
+        r["doc_id"]: r
+        for r in textstats.bigram_lm_scores(
+            spark.createDataFrame(rows, "doc_id long, text string"), alpha=alpha
+        ).collect()
+    }
+    c1, c2 = {}, {}
+    for ts in docs_toks:
+        for t in ts:
+            c1[t] = c1.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    V = len(c1)
+    expected_ids = set()
+    for i, ts in enumerate(docs_toks):
+        bgs = list(zip(ts, ts[1:]))
+        if not bgs:
+            continue
+        expected_ids.add(i)
+        lps = [np.log((c2[b] + alpha) / (c1[b[0]] + alpha * V)) for b in bgs]
+        assert got[i]["n_bigrams"] == len(bgs)
+        assert got[i]["avg_logp"] == pytest.approx(np.mean(lps), abs=1e-4)
+        assert got[i]["ppl"] == pytest.approx(np.exp(-np.mean(lps)), abs=1e-3)
+    assert set(got) == expected_ids
