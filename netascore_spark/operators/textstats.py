@@ -245,19 +245,25 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.5,
+    train_docs: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality signal: score every document by
     the average log-probability of its word bigrams under an add-alpha
-    smoothed bigram model TRAINED ON THE SAME CORPUS (self-scoring — a
-    document full of corpus-typical n-grams scores high, gibberish and
-    boilerplate-mangled text score low).
+    smoothed bigram model.  ``train_docs=None`` trains on the scored
+    corpus itself (self-scoring — corpus-typical text scores high,
+    gibberish low); pass a reference corpus (the CCNet setup: a clean
+    Wikipedia-like table) to score the web corpus under a fixed model —
+    bigrams/tokens unseen in training back off to their add-alpha floor
+    (p = alpha / (c(w1) + alpha*V), down to 1/V for unseen history).
 
-    p(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha*V), c() corpus counts,
-    V = distinct-token count.  Returns (id, n_bigrams, avg_logp, ppl) for
-    documents with >= 1 bigram; avg_logp rounded to 4 decimals, ppl =
-    exp(-avg_logp) rounded to 3 (both engines round the same raw double —
-    sub-ulp cross-engine drift cannot flip these digits except on exact
-    half-way values, which the irrational logs never hit).
+    p(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha*V), c() TRAIN counts,
+    V = distinct-token count of TRAIN.  Returns (id, n_bigrams, avg_logp,
+    ppl) for documents with >= 1 bigram; avg_logp rounded to 4 decimals,
+    ppl = exp(-avg_logp) rounded to 3 (both engines round the same raw
+    double — sub-ulp cross-engine drift cannot flip these digits except
+    on exact half-way values, which the irrational logs never hit).
+    Self-scoring uses the same left-join + coalesce(0) plan — every key
+    exists, so it degenerates to the inner join the DuckDB oracle runs.
 
     Scale shape: bigrams are built codegen-native (two shifted slices
     zipped, no per-gram strings) and keyed by xxhash64 — the count tables
@@ -267,36 +273,47 @@ def bigram_lm_scores(
     broadcast crossJoin, keeping the whole plan lazy (no driver count
     action).  Collision trade as in ngram_jaccard_pairs.
     """
-    toks = tokens(F.lower(F.col(text_col)))
-    base = (
-        docs.filter(F.trim(F.col(text_col)) != "")
-        .select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__sz"))
-    )
-    m = F.greatest(F.col("__sz") - 1, F.lit(0))
-    zipped = F.arrays_zip(F.slice("__t", 1, m), F.slice("__t", 2, m))
-    # materialize the zipped array in its own projection before explode —
-    # ExtractGenerator would otherwise inline (and re-evaluate) the zip per
-    # exploded row (see ngram_jaccard_pairs' __hs note)
-    bi = (
-        base.select(F.col(id_col), zipped.alias("__bg"))
-        .select(F.col(id_col), F.explode("__bg").alias("__b"))
-        .select(
-            F.col(id_col),
-            F.xxhash64(F.col("__b.0"), F.col("__b.1")).alias("__h2"),
-            F.xxhash64(F.col("__b.0")).alias("__h1"),
+    def _base(frame: DataFrame) -> DataFrame:
+        toks = tokens(F.lower(F.col(text_col)))
+        return (
+            frame.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__sz"))
         )
-    )
-    uni = base.select(F.explode("__t").alias("__w")).select(
+
+    def _bigrams(b: DataFrame) -> DataFrame:
+        m = F.greatest(F.col("__sz") - 1, F.lit(0))
+        zipped = F.arrays_zip(F.slice("__t", 1, m), F.slice("__t", 2, m))
+        # materialize the zipped array in its own projection before explode
+        # — ExtractGenerator would otherwise inline (and re-evaluate) the
+        # zip per exploded row (see ngram_jaccard_pairs' __hs note)
+        return (
+            b.select(F.col(id_col), zipped.alias("__bg"))
+            .select(F.col(id_col), F.explode("__bg").alias("__b"))
+            .select(
+                F.col(id_col),
+                F.xxhash64(F.col("__b.0"), F.col("__b.1")).alias("__h2"),
+                F.xxhash64(F.col("__b.0")).alias("__h1"),
+            )
+        )
+
+    base = _base(docs)
+    tbase = base if train_docs is None else _base(train_docs)
+    bi = _bigrams(base)
+    tbi = bi if train_docs is None else _bigrams(tbase)
+    uni = tbase.select(F.explode("__t").alias("__w")).select(
         F.xxhash64("__w").alias("__h1")
     )
     c1 = uni.groupBy("__h1").agg(F.count("*").alias("__c1"))
-    c2 = bi.groupBy("__h2").agg(F.count("*").alias("__c2"))
+    c2 = tbi.groupBy("__h2").agg(F.count("*").alias("__c2"))
     vdf = c1.agg(F.count("*").alias("__V"))
     a = F.lit(float(alpha))
-    logp = F.log((F.col("__c2") + a) / (F.col("__c1") + a * F.col("__V")))
+    logp = F.log(
+        (F.coalesce(F.col("__c2"), F.lit(0)) + a)
+        / (F.coalesce(F.col("__c1"), F.lit(0)) + a * F.col("__V"))
+    )
     return (
-        bi.join(c2, "__h2")
-        .join(c1, "__h1")
+        bi.join(c2, "__h2", "left")
+        .join(c1, "__h1", "left")
         .crossJoin(F.broadcast(vdf))
         .groupBy(id_col)
         .agg(

@@ -875,3 +875,32 @@ def test_mask_duplicated_spans(spark):
         assert any(masked[i] == " " and text[i] != " "
                    for i in range(lo, lo + len(shared)))
         assert masked[:5] == text[:5]
+
+
+def test_bigram_lm_reference_corpus(spark):
+    # score under a FIXED reference model: unseen bigrams/tokens back off
+    # to the add-alpha floor instead of erroring or vanishing
+    train = spark.createDataFrame([(100, "a b c"), (101, "a b")], ["doc_id", "text"])
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "b z"), (3, "q r")], ["doc_id", "text"]
+    )
+    alpha = 0.5
+    out = {r["doc_id"]: r for r in
+           textstats.bigram_lm_scores(score, alpha=alpha, train_docs=train).collect()}
+    c1 = {"a": 2, "b": 2, "c": 1}
+    c2 = {("a", "b"): 2, ("b", "c"): 1}
+    V = 3
+    import math
+
+    def p(w1, w2):
+        return (c2.get((w1, w2), 0) + alpha) / (c1.get(w1, 0) + alpha * V)
+
+    for did, bg in [(1, ("a", "b")), (2, ("b", "z")), (3, ("q", "r"))]:
+        lp = math.log(p(*bg))
+        assert out[did]["n_bigrams"] == 1
+        assert out[did]["avg_logp"] == pytest.approx(lp, abs=1e-4), did
+    # the seen bigram outscores both backoff cases; note the unseen-HISTORY
+    # floor (1/V, doc 3) legitimately exceeds the unseen-bigram-with-seen-
+    # history value (alpha/(c1+alpha*V), doc 2) under add-alpha smoothing
+    assert out[1]["avg_logp"] > out[2]["avg_logp"]
+    assert out[1]["avg_logp"] > out[3]["avg_logp"]
