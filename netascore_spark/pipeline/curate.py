@@ -65,9 +65,12 @@ class CurateConfig:
     # benchmark corpus to decontaminate against (DataFrame with text_col)
     benchmark: object = field(default=None)
     decontaminate_n: int = 8
-    # self-trained bigram-LM perplexity cap (docs above it are junk)
+    # bigram-LM perplexity cap (docs above it are junk); the model is
+    # self-trained on the gated corpus unless lm_reference (a clean
+    # reference DataFrame with text_col — the CCNet setup) is given
     max_ppl: float | None = None
     lm_alpha: float = 0.5
+    lm_reference: object = field(default=None)
 
 
 def curate(
@@ -139,7 +142,8 @@ def curate(
         from ..operators import textstats
 
         scores = textstats.bigram_lm_scores(
-            gated, cfg.id_col, cfg.text_col, alpha=cfg.lm_alpha
+            gated, cfg.id_col, cfg.text_col, alpha=cfg.lm_alpha,
+            train_docs=cfg.lm_reference,
         )
         gated = gated.join(
             scores.filter(F.col("ppl") <= cfg.max_ppl).select(cfg.id_col, "ppl"),

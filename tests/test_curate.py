@@ -77,6 +77,17 @@ def test_curate_optional_stages(spark, corpus):
     assert set(out) == {1, 4, 7}
     assert all(r["ppl"] > 0 for r in out.values())
 
+    # LM gate under a fixed reference model (unseen grams back off, docs
+    # still scored and kept under a loose cap)
+    ref = corpus.filter("doc_id = 4")
+    cfg = CurateConfig(jaccard_threshold=0.5, max_dup_line_frac=0.5,
+                       max_ppl=1e9, lm_reference=ref)
+    out_ref = {r["doc_id"]: r for r in curate(corpus, cfg).collect()}
+    assert set(out_ref) == {1, 4, 7}
+    # doc 4 is the reference itself -> scores strictly better than the
+    # out-of-domain docs
+    assert out_ref[4]["ppl"] < out_ref[1]["ppl"]
+
 
 def test_curate_resumable_from_checkpoints(spark, corpus, tmp_path):
     from netascore_spark.pipeline.checkpoint import Checkpointer
