@@ -187,39 +187,107 @@ def ngram_jaccard_pairs(
         df_counts.filter((F.col("df") >= 2) & (F.col("df") <= max_df)),
         "shingle",
     )
-    # Pair generation: ONE exchange of the filtered inverted index into a
-    # collect_list per shingle, then a native double-explode over the
-    # bounded posting list.  The previous a.join(b, "shingle") self-join
-    # shuffled the SAME filtered index twice (both join inputs) and its
-    # reduce side held sort-merge buffers for both streams — the
-    # memory-bound stage behind the 0.67 2->8 efficiency at 800k docs.
-    # Per-key lists are <= max_df entries (16 B structs) by the df filter
-    # above, so the collected array is bounded; the df^2 candidate rows
-    # stream out of the Generate pair one at a time (never materialized
-    # per key), exactly as the join output did — with half the shuffle
-    # write and one sorter instead of two.
-    grouped = inv.groupBy("shingle").agg(
-        F.collect_list(F.struct(F.col(id_col).alias("i"),
-                                F.col("n_sh").alias("n"))).alias("__mem")
+    # Pair generation: PREFIX-FILTERED (AllPairs/PPJoin, Bayardo et al. /
+    # Xiao et al. — public algorithms).  The previous form streamed EVERY
+    # co-occurrence of every surviving shingle into one giant count
+    # aggregation keyed by doc pair — 127M candidate rows at the 50k-doc
+    # bench corpus, of which ~90% shared exactly ONE shingle while the
+    # threshold needs ~0.375*(n_a+n_b) shared shingles; the aggregation
+    # achieved no map-side compression (114M distinct pairs) and its
+    # shuffle was the operator's wall (guide §2.3: shuffle fewer bytes by
+    # not generating rows the threshold provably kills).
+    #
+    # Prefix-filter principle: order the token universe totally (here by
+    # (df, hash) — rarest first maximizes pruning); if |A∩B| >= a then the
+    # (|A|-a+1)-prefixes of A and B share a token.  For Jaccard >= t and
+    # partners that survive the length filter (n_b >= t*n_a, else J < t),
+    # the minimal required overlap is ceil(t*n_x), so indexing only each
+    # doc's first |S_x| - ceil(t*n_x) + 1 ordered shingles generates every
+    # qualifying pair.  Each prefix posting EMBEDS the doc's full ordered
+    # hash array, so candidate pairs are verified exactly (array_intersect)
+    # inside the SAME stage — no second shuffle, no join back to the docs.
+    #
+    # alpha is computed as ceil(t*n - eps): for t*n exactly integral a
+    # float excess (0.6*5 = 3.0000000000000004) would shorten the prefix
+    # and MISS pairs; the eps only ever lengthens the prefix (safe side).
+    # All pruning filters below use the same safe-side eps — the final
+    # threshold test is the exact unrounded comparison, unchanged.
+    surv = inv  # (id, n_sh, shingle, df) — shingles with df in [2, max_df]
+    alpha = F.ceil(F.col("n_sh") * threshold - 1e-9).cast("int")
+    by_doc = (
+        surv.groupBy(F.col(id_col), F.col("n_sh"))
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("__sd"))
+        # rarest-first global order; keep only the hash array (verification
+        # needs set identity, not df).  Materialized as its own column
+        # before slice/posexplode touch it (ExtractGenerator inlining —
+        # same rule as __hs above).
+        .select(
+            id_col, "n_sh",
+            F.transform("__sd", lambda s: s["shingle"]).alias("__S"),
+        )
+        .withColumn("__m", F.size("__S"))
+        # docs whose surviving-shingle count can't reach alpha are in no
+        # qualifying pair at all: prefix length <= 0 drops them here
+        .withColumn(
+            "__P",
+            F.slice("__S", 1, F.greatest(F.col("__m") - alpha + 1, F.lit(0))),
+        )
+    )
+    pref = by_doc.select(
+        F.col(id_col), F.col("n_sh"), F.col("__m"), F.col("__S"),
+        F.posexplode("__P").alias("__p0", "shingle"),
+    )
+    # one exchange: group the prefix postings (each carrying its doc's
+    # ordered hash array) per shingle; the df^2 candidate rows stream out
+    # of the double-Generate one at a time and are length/positional-
+    # filtered and exact-verified WITHIN the stage — only threshold
+    # survivors (a tiny set) reach the final dedup exchange.
+    grouped = pref.groupBy("shingle").agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("i"), F.col("n_sh").alias("n"),
+                F.col("__m").alias("m"), (F.col("__p0") + 1).alias("p"),
+                F.col("__S").alias("s"),
+            )
+        ).alias("__mem")
     )
     # both Generates reference the bare materialized attribute (__mem /
     # __a) — same ExtractGenerator-inlining rule as the __hs explode above
-    pairs = (
+    cand = (
         grouped.select(F.explode("__mem").alias("__a"), F.col("__mem"))
         .select(F.col("__a"), F.explode("__mem").alias("__b"))
         .filter(F.col("__a.i") < F.col("__b.i"))
     )
-    shared = pairs.groupBy(
-        F.col("__a.i").alias("id_a"), F.col("__b.i").alias("id_b"),
-        F.col("__a.n").alias("n_a"), F.col("__b.n").alias("n_b"),
-    ).agg(F.count("*").alias("inter"))
+    n_a, n_b = F.col("__a.n"), F.col("__b.n")
+    # length filter: J <= min/max, so min(n) < t*max(n) can never pass
+    length_ok = F.least(n_a, n_b) >= F.greatest(n_a, n_b) * threshold - 1e-9
+    # positional filter: arrays share the global order, so the FIRST shared
+    # token sits at the min position in both; for that occurrence
+    # inter <= 1 + min(remaining_a, remaining_b).  Applied per occurrence:
+    # a true pair's first occurrence always passes (the bound is valid
+    # there), later occurrences may be pruned freely (duplicates anyway).
+    ubound = F.lit(1) + F.least(
+        F.col("__a.m") - F.col("__a.p"), F.col("__b.m") - F.col("__b.p")
+    )
+    alpha_pair = (n_a + n_b) * (threshold / (1.0 + threshold)) - 1e-9
+    inter = F.size(F.array_intersect(F.col("__a.s"), F.col("__b.s")))
+    verified = (
+        cand.filter(length_ok & (ubound >= alpha_pair))
+        .select(
+            F.col("__a.i").alias("id_a"), F.col("__b.i").alias("id_b"),
+            n_a.alias("n_a"), n_b.alias("n_b"), inter.alias("inter"),
+        )
+    )
     # threshold on the UNROUNDED value (matching exact SQL semantics —
     # rounding first would flip boundary pairs at jaccard ~= threshold),
-    # round only the reported column
+    # round only the reported column.  A pair sharing several prefix
+    # shingles is verified once per occurrence (identical verdict);
+    # dropDuplicates runs on the tiny post-threshold survivor set.
     raw = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        shared.filter(raw >= threshold)
+        verified.filter(raw >= threshold)
         .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
