@@ -786,10 +786,28 @@ def _convex_difference(p: np.ndarray, c: np.ndarray) -> list[np.ndarray]:
     return pieces
 
 
-def _poly_pieces(rings: list[np.ndarray], bbox=None) -> list[np.ndarray]:
+def triangulated(rings: list[np.ndarray]):
+    """Pre-triangulated polygon for union_pieces/union_area_in_region: the
+    ear triangulation is a pure function of the rings, so callers that see
+    the same polygon in many groups (buffer overlays: one building appears
+    in every neighbouring edge's candidate set) cache this once per WKB
+    instead of re-triangulating per group.  The returned triangles are
+    treated read-only downstream (every clip builds new arrays)."""
+    return (rings, (_ear_triangulate(rings[0]),
+                    [_ear_triangulate(h) for h in rings[1:]]))
+
+
+def _poly_pieces(poly, bbox=None) -> list[np.ndarray]:
     """Disjoint convex pieces covering a polygon-with-holes, optionally
-    pre-clipped to a bbox (minx, miny, maxx, maxy)."""
-    tris = _ear_triangulate(rings[0])
+    pre-clipped to a bbox (minx, miny, maxx, maxy).  ``poly`` is either a
+    rings list or the output of :func:`triangulated` (identical result —
+    the same triangles go through the same clip/subtract sequence)."""
+    if isinstance(poly, tuple):
+        rings, (tris, hole_tris) = poly
+    else:
+        rings = poly
+        tris = _ear_triangulate(rings[0])
+        hole_tris = None
     if bbox is not None:
         minx, miny, maxx, maxy = bbox
         box = np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]])
@@ -799,29 +817,65 @@ def _poly_pieces(rings: list[np.ndarray], bbox=None) -> list[np.ndarray]:
             if len(ct) >= 3 and abs(ring_signed_area(np.vstack([ct, ct[:1]]))) > EPS:
                 clipped.append(ct)
         tris = clipped
-    for hole in rings[1:]:
-        for h in _ear_triangulate(hole):
+    if hole_tris is None:
+        hole_tris = [_ear_triangulate(h) for h in rings[1:]]
+    for hs in hole_tris:
+        for h in hs:
             tris = [frag for t in tris for frag in _convex_difference(t, h)]
     return tris
 
 
+def _bbox(p: np.ndarray):
+    return (
+        float(p[:, 0].min()), float(p[:, 1].min()),
+        float(p[:, 0].max()), float(p[:, 1].max()),
+    )
+
+
 def union_pieces(
-    polys: list[list[np.ndarray]], bbox=None
+    polys, bbox=None
 ) -> list[np.ndarray]:
     """Disjoint convex pieces exactly covering Union(polys) (∩ bbox).
 
     Incremental construction: each polygon's triangles are reduced by the
     union-so-far (convex difference), so only NEW coverage is appended —
-    exact for any overlap depth (not pairwise-truncated)."""
+    exact for any overlap depth (not pairwise-truncated).
+
+    Bit-identical fast path: piece bboxes are cached once and compared in
+    the caller, so the O(new-triangles x pieces) inner loop skips the
+    _convex_difference call (whose own bbox test would return the identity)
+    for the overwhelmingly common disjoint case — the numpy min/max
+    dispatch per tiny array was the dominant cost of the buffer-overlay
+    python stage (measured: 3.2M ufunc reduces for 403k calls on a 1%%
+    bench sample).  ``polys`` elements may be rings lists or
+    :func:`triangulated` outputs."""
     pieces: list[np.ndarray] = []
+    boxes: list[tuple] = []
     for rings in polys:
         for t in _poly_pieces(rings, bbox):
             frags = [t]
-            for c in pieces:
-                frags = [f for fr in frags for f in _convex_difference(fr, c)]
+            fboxes = [_bbox(t)]
+            for c, cb in zip(pieces, boxes):
+                nf: list[np.ndarray] = []
+                nb: list[tuple] = []
+                for fr, fb in zip(frags, fboxes):
+                    if (
+                        cb[0] > fb[2] or cb[2] < fb[0]
+                        or cb[1] > fb[3] or cb[3] < fb[1]
+                    ):
+                        # disjoint boxes: _convex_difference would return
+                        # [fr] unchanged — skip the call
+                        nf.append(fr)
+                        nb.append(fb)
+                        continue
+                    for f in _convex_difference(fr, c):
+                        nf.append(f)
+                        nb.append(_bbox(f))
+                frags, fboxes = nf, nb
                 if not frags:
                     break
             pieces.extend(frags)
+            boxes.extend(fboxes)
     return pieces
 
 

@@ -234,12 +234,25 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
 def _binary_pair_udf(fn: Callable, rettype):
     @F.pandas_udf(rettype)
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        # memoize WKB decodes within the batch: candidate streams repeat
+        # both sides heavily (one edge buffer meets many water/noise
+        # features and vice versa), and the decode was pure per-row
+        # overhead on repeats — same trick as osmxml._intersection_points
+        memo: dict[bytes, tuple] = {}
+
+        def dec(g):
+            k = bytes(g)
+            c = memo.get(k)
+            if c is None:
+                c = memo[k] = wkb.decode(k)
+            return c
+
         out = []
         for ga, gb in zip(a, b):
             if ga is None or gb is None:
                 out.append(None)
             else:
-                out.append(fn(wkb.decode(bytes(ga)), wkb.decode(bytes(gb))))
+                out.append(fn(dec(ga), dec(gb)))
         return pd.Series(out)
 
     # asNondeterministic: these refines ARE deterministic, but flagging them

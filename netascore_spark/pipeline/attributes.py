@@ -219,6 +219,9 @@ def buffer_overlay_ratio(
             for eid, grp in pdf.groupby("edge_id", sort=False):
                 buf = wkb.decode(bytes(grp["geom"].iloc[0]))[1]
                 buffer_area = ops.polygon_area(buf)
+                rb = buf[0]
+                bminx, bminy = float(rb[:, 0].min()), float(rb[:, 1].min())
+                bmaxx, bmaxy = float(rb[:, 0].max()), float(rb[:, 1].max())
                 pieces = []
                 for g in grp["r_geom"]:
                     gb = bytes(g)
@@ -226,12 +229,31 @@ def buffer_overlay_ratio(
                     if rings_list is None:
                         # flatten MultiPolygon parts — real OSM multi-outer
                         # relations reach here as one Polygon per part or as
-                        # a MultiPolygon from other sources
-                        rings_list = wkb.polygons(wkb.decode(gb))
+                        # a MultiPolygon from other sources.  Cache the ear
+                        # triangulation with the decode: the same building
+                        # recurs in every neighbouring edge's group, and
+                        # triangulation was ~20% of the python stage
+                        # (ops.triangulated is a pure function; the clip/
+                        # subtract sequence downstream is unchanged).
+                        rings_list = [
+                            (ops.triangulated(r), ops._bbox(r[0]))
+                            for r in wkb.polygons(wkb.decode(gb))
+                        ]
                         if len(poly_cache) > 4096:
                             poly_cache.clear()
                         poly_cache[gb] = rings_list
-                    pieces.extend(rings_list)
+                    for tri, pb in rings_list:
+                        # cell-level candidates include polygons that never
+                        # touch THIS edge's buffer; a part whose bbox is
+                        # disjoint from the buffer bbox clips to empty in
+                        # union_pieces (identical result) — skip it here
+                        # before any triangle clipping happens
+                        if (
+                            pb[0] > bmaxx or pb[2] < bminx
+                            or pb[1] > bmaxy or pb[3] < bminy
+                        ):
+                            continue
+                        pieces.append(tri)
                 try:
                     ua = ops.union_area_in_region(pieces, buf)
                 except ValueError:

@@ -627,6 +627,18 @@ def finalize_network(
     edges = joined.select(
         *keep, "edge_id", "from_node", "to_node", F.col("glen").alias("length")
     )
+    # OUTPUT WIDTH (measured, round 6): AQE's size-based coalescing shrinks
+    # the final join's output to 1-2 partitions (a few hundred MB of slim
+    # rows), and the caller's localCheckpoint freezes that width — every
+    # downstream consumer that does per-row work BEFORE its first exchange
+    # (base_attributes' 33-column CASE cascade, the buffer/endpoint/segment
+    # Arrow passes of the attributes and pages stages) then runs 2-wide
+    # regardless of cluster size (12.6 s for the base projection at 32
+    # cores; 1.1 s after).  Re-spread to the session's shuffle width —
+    # scale-adaptive (conf), one extra exchange of slim rows, row content
+    # unchanged.  Same AQE-byte-proxy rationale as operators.spatial.spread.
+    width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.repartition(width)
     return edges, nodes
 
 
