@@ -60,6 +60,23 @@ def assign_ids(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
     base = df.repartitionByRange(num_partitions, *cols)
+    # CORRECTNESS (found round 6): the counts branch and the id branch MUST
+    # read the SAME physical range exchange.  Without a pin, column pruning
+    # rewrites the counts branch's subtree (it needs only the order cols),
+    # the two exchanges no longer canonicalize equal, ReusedExchange does
+    # NOT fire, and each exchange instance SAMPLES ITS OWN range boundaries
+    # — rows then land in different partitions in the two branches, the
+    # offsets misalign, and ids silently duplicate (measured at the 400k-
+    # edge bench scale: 400,566 edge rows / 388,288 distinct edge_ids, and
+    # the duplication count varied run to run with the sampling).  The
+    # persist pins ONE InMemoryRelation — both subplans share one physical
+    # exchange, one partitioner, one set of shuffle files; the plan is
+    # still a single lazy action (cache fills on first materialization).
+    # MEMORY_AND_DISK (the default), registered with the pipeline cache
+    # registry so orchestrators can release it after materialization.
+    from netascore_spark.pipeline import cache as _cache
+
+    base = _cache.track(base.persist())
     # counts branch: no sort needed (a partition's size is order-free); the
     # nondeterministic spark_partition_id is projected before the groupBy
     # (grouping directly on a nondeterministic expression is rejected)

@@ -64,6 +64,72 @@ def cover_cells_udf(cell_size: float = grid.DEFAULT_CELL_SIZE, pad: float = 0.0)
     return _cover
 
 
+_COVER_BBOX_TYPE = T.StructType(
+    [
+        T.StructField("cells", T.ArrayType(T.LongType())),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+    ]
+)
+
+
+def cover_cells_bbox_udf(cell_size: float = grid.DEFAULT_CELL_SIZE, pad: float = 0.0):
+    """Like :func:`cover_cells_udf` but also emits the geometry bbox —
+    computed from the SAME decode the cover already pays for.  Lets
+    candidate_pairs bbox-prefilter candidates natively: at 200 m cells over
+    10-50 m features ~88% of cell-coincident pairs are bbox-disjoint
+    (measured on the building overlay), and every refine this engine runs
+    (intersects, contains, intersection length, union area, DWithin<=pad)
+    is provably false/zero for pairs whose pad-expanded bboxes are
+    disjoint."""
+
+    @F.pandas_udf(_COVER_BBOX_TYPE)
+    def _cover(geoms: pd.Series) -> pd.DataFrame:
+        cells_o: list = []
+        bb_o: list = []
+        for data in geoms:
+            if data is None:
+                cells_o.append(None)
+                bb_o.append((None, None, None, None))
+                continue
+            kind, body = wkb.decode(bytes(data))
+            if kind == "Point":
+                cells = grid.cover_point(body[0], body[1], cell_size, pad)
+                bb = (float(body[0]), float(body[1]), float(body[0]), float(body[1]))
+            elif kind == "LineString":
+                cells = grid.cover_line(body, cell_size, pad)
+                bb = (
+                    float(body[:, 0].min()), float(body[:, 1].min()),
+                    float(body[:, 0].max()), float(body[:, 1].max()),
+                )
+            elif kind == "Polygon":
+                cells = grid.cover_polygon(body, cell_size, pad)
+                r = body[0]
+                bb = (
+                    float(r[:, 0].min()), float(r[:, 1].min()),
+                    float(r[:, 0].max()), float(r[:, 1].max()),
+                )
+            else:  # multi/collection: bbox cover
+                b = wkb.bbox((kind, body))
+                cells = grid.cover_bbox(*b, cell_size, pad)
+                bb = (float(b[0]), float(b[1]), float(b[2]), float(b[3]))
+            cells_o.append(cells.tolist())
+            bb_o.append(bb)
+        return pd.DataFrame(
+            {
+                "cells": cells_o,
+                "x0": [b[0] for b in bb_o],
+                "y0": [b[1] for b in bb_o],
+                "x1": [b[2] for b in bb_o],
+                "y1": [b[3] for b in bb_o],
+            }
+        )
+
+    return _cover
+
+
 def point_cell_expr(
     x: Column, y: Column, cell_size: float = grid.DEFAULT_CELL_SIZE
 ) -> Column:
@@ -116,16 +182,31 @@ def candidate_pairs(
     rcols = [right_id, right_geom] + (extra_right or [])
     lpad = pad if pad_side == "left" else 0.0
     rpad = pad if pad_side == "right" else 0.0
+
     # spread the cover inputs: the WKB-decode cover UDF is python CPU, and
     # its source is often a byte-coalesced cache (a 50 MB edge table reads
     # as ~3 partitions).  Slim (id, geom) rows make the extra exchange cheap;
     # the broadcast side skips it (a repartition below a broadcast exchange
     # is pure waste).
-    lc = with_cells(spread(left.select(*lcols)), left_geom, cell_size, lpad)
+    def _cells_bbox(df, geom_col, cpad, px):
+        cb = cover_cells_bbox_udf(cell_size, cpad)(F.col(geom_col))
+        # materialize the struct before the explode references its field
+        # (ExtractGenerator inlining — see operators/dedup.py)
+        df = df.withColumn("__cb", cb)
+        return df.select(
+            "*",
+            F.col("__cb.x0").alias(f"__{px}x0"),
+            F.col("__cb.y0").alias(f"__{px}y0"),
+            F.col("__cb.x1").alias(f"__{px}x1"),
+            F.col("__cb.y1").alias(f"__{px}y1"),
+            F.explode("__cb.cells").alias("cell"),
+        ).drop("__cb")
+
+    lc = _cells_bbox(spread(left.select(*lcols)), left_geom, lpad, "l")
     right_sel = right.select(*rcols)
     if not broadcast_right:
         right_sel = spread(right_sel)
-    rc = with_cells(right_sel, right_geom, cell_size, rpad)
+    rc = _cells_bbox(right_sel, right_geom, rpad, "r")
     rc = rc.withColumnsRenamed(
         {c: f"__r_{c}" for c in rcols if c in lcols}
     )
@@ -134,6 +215,23 @@ def candidate_pairs(
     if broadcast_right:
         rc = F.broadcast(rc)
     pairs = lc.join(rc, "cell").drop("cell")
+    # NATIVE bbox prefilter (measured: 88% of cell-coincident building-
+    # overlay candidates are bbox-disjoint): every refine downstream of
+    # candidate_pairs — intersects, contains, intersection length, union
+    # area, DWithin<=pad — is false/zero when the pad-expanded bboxes are
+    # disjoint, so dropping those rows BEFORE the pair dedup, the spread
+    # exchange and the Arrow boundary is exact.  Touching bboxes are kept
+    # (strict inequalities): ST_Intersects of touching geometries is true.
+    p = float(pad)
+    disjoint = (
+        (F.col("__lx0") > F.col("__rx1") + p)
+        | (F.col("__lx1") < F.col("__rx0") - p)
+        | (F.col("__ly0") > F.col("__ry1") + p)
+        | (F.col("__ly1") < F.col("__ry0") - p)
+    )
+    pairs = pairs.filter(~disjoint).drop(
+        "__lx0", "__ly0", "__lx1", "__ly1", "__rx0", "__ry0", "__rx1", "__ry1"
+    )
     pairs = pairs.dropDuplicates([left_id, r_id])
     renames = {}
     if r_id != right_id:
