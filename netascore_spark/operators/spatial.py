@@ -159,6 +159,32 @@ def with_cells(
 # candidate generation
 # ---------------------------------------------------------------------------
 
+def cover_with_cells_bbox(
+    df: DataFrame,
+    geom_col: str,
+    cell_size: float,
+    pad: float = 0.0,
+    prefix: str = "l",
+) -> DataFrame:
+    """One row per (input row, covering cell) with the geometry bbox as
+    ``__<prefix>x0..__<prefix>y1`` columns — the left-side candidate cover
+    of :func:`candidate_pairs`, exposed so callers joining the SAME
+    geometry table against several layers can compute (and persist) the
+    cover once and pass it via ``left_cov``."""
+    cb = cover_cells_bbox_udf(cell_size, pad)(F.col(geom_col))
+    # materialize the struct before the explode references its field
+    # (ExtractGenerator inlining — see operators/dedup.py)
+    df = df.withColumn("__cb", cb)
+    return df.select(
+        "*",
+        F.col("__cb.x0").alias(f"__{prefix}x0"),
+        F.col("__cb.y0").alias(f"__{prefix}y0"),
+        F.col("__cb.x1").alias(f"__{prefix}x1"),
+        F.col("__cb.y1").alias(f"__{prefix}y1"),
+        F.explode("__cb.cells").alias("cell"),
+    ).drop("__cb")
+
+
 def candidate_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -172,11 +198,21 @@ def candidate_pairs(
     extra_left: list[str] | None = None,
     extra_right: list[str] | None = None,
     broadcast_right: bool = False,
+    left_cov: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate (left, right) pairs meeting in >=1 grid cell.
 
     ``pad`` expands the cover of ``pad_side`` — used for ST_DWithin(r) and
     buffer joins, where only one side needs the ring expansion.
+
+    ``left_cov``: a PRE-COMPUTED (and typically persisted) cover of the
+    left side, as produced by :func:`cover_with_cells_bbox` with the same
+    geometry column and pad.  The attributes stage joins the SAME 30 m
+    edge-buffer table against three different layers (water lines, water
+    polygons, greenness); without sharing, each join re-runs the
+    WKB-decode cover UDF over every buffer polygon (~3 s per pass at 400k
+    edges, measured round 6) — one persisted cover amortizes it to one
+    pass.  Callers own the persist lifecycle (pipeline.cache.track).
     """
     lcols = [left_id, left_geom] + (extra_left or [])
     rcols = [right_id, right_geom] + (extra_right or [])
@@ -189,20 +225,12 @@ def candidate_pairs(
     # the broadcast side skips it (a repartition below a broadcast exchange
     # is pure waste).
     def _cells_bbox(df, geom_col, cpad, px):
-        cb = cover_cells_bbox_udf(cell_size, cpad)(F.col(geom_col))
-        # materialize the struct before the explode references its field
-        # (ExtractGenerator inlining — see operators/dedup.py)
-        df = df.withColumn("__cb", cb)
-        return df.select(
-            "*",
-            F.col("__cb.x0").alias(f"__{px}x0"),
-            F.col("__cb.y0").alias(f"__{px}y0"),
-            F.col("__cb.x1").alias(f"__{px}x1"),
-            F.col("__cb.y1").alias(f"__{px}y1"),
-            F.explode("__cb.cells").alias("cell"),
-        ).drop("__cb")
+        return cover_with_cells_bbox(df, geom_col, cell_size, cpad, px)
 
-    lc = _cells_bbox(spread(left.select(*lcols)), left_geom, lpad, "l")
+    if left_cov is not None:
+        lc = left_cov
+    else:
+        lc = _cells_bbox(spread(left.select(*lcols)), left_geom, lpad, "l")
     right_sel = right.select(*rcols)
     if not broadcast_right:
         right_sel = spread(right_sel)

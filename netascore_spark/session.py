@@ -106,6 +106,23 @@ def build_session(
     ):
         b = b.config(f"spark.executorEnv.{env_k}", env_v)
         os.environ.setdefault(env_k, env_v)
+    # The JVM-side twin of the malloc knobs above: G1 UNCOMMITS free heap
+    # regions after a concurrent cycle / full GC (Min/MaxHeapFreeRatio), so
+    # a stage running after a bigger predecessor re-faults the returned
+    # pages — on this memory-overcommitted host those first-touch faults
+    # stall 30-100x, and the A/B on the bench pipeline measured the pages
+    # extract stage at 22.4 s baseline vs 13.5 s with shrink disabled
+    # (stage executorRunTime 632 s -> 390 s, jvmGcTime 159 s -> 30 s;
+    # network/attributes unchanged).  MaxHeapFreeRatio=100 = "never shrink
+    # below -Xmx once grown": pages are faulted once and reused.  On
+    # memory-dense cluster executors the equivalent practice is
+    # -Xms=-Xmx (+AlwaysPreTouch); that variant measured even faster on
+    # the later stages here (extract 8.4 s) but pushed the fault-in cost
+    # into the first heavy stage, so the growth-retention form is the
+    # default.  Applied to executors too for local-cluster / standalone
+    # runs; extra_conf can override either key wholesale.
+    for jvm_k in ("spark.driver.extraJavaOptions", "spark.executor.extraJavaOptions"):
+        b = b.config(jvm_k, "-XX:MaxHeapFreeRatio=100")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
