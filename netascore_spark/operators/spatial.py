@@ -199,11 +199,23 @@ def candidate_pairs(
     extra_right: list[str] | None = None,
     broadcast_right: bool = False,
     left_cov: DataFrame | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Distinct candidate (left, right) pairs meeting in >=1 grid cell.
 
     ``pad`` expands the cover of ``pad_side`` — used for ST_DWithin(r) and
     buffer joins, where only one side needs the ring expansion.
+
+    ``dedup=False`` skips the pair-dedup exchange: a pair meeting in k>1
+    cells is then emitted k times.  Correct ONLY for consumers whose
+    downstream fold is duplicate-insensitive — a boolean flag with a final
+    ``distinct()`` (water), or a union-area kernel that dedups repeated
+    geometry within each group (buffer overlays).  A SUM-style consumer
+    (noise) MUST keep the dedup.  The win is structural: without the
+    dedup's exchange the refine UDF runs inside the cell-join stage
+    itself, so the whole candidate path is cover -> join -> refine with
+    no intermediate shuffle of fat WKB rows (measured round 6: the dedup
+    + re-spread exchanges carried 100-300 MB per overlay op).
 
     ``left_cov``: a PRE-COMPUTED (and typically persisted) cover of the
     left side, as produced by :func:`cover_with_cells_bbox` with the same
@@ -242,6 +254,14 @@ def candidate_pairs(
     r_geom = f"__r_{right_geom}" if right_geom in lcols else right_geom
     if broadcast_right:
         rc = F.broadcast(rc)
+    if not dedup and not broadcast_right:
+        # the refine UDF will run INSIDE the join stage (no dedup exchange
+        # above it), so pin the join width explicitly: the cell exchange
+        # below is the join's own left input (no extra shuffle), and an
+        # explicit repartition is exempt from AQE's byte-based coalescing
+        # — same rationale as spread()
+        n_part = int(lc.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        lc = lc.repartition(n_part, F.col("cell"))
     pairs = lc.join(rc, "cell").drop("cell")
     # NATIVE bbox prefilter (measured: 88% of cell-coincident building-
     # overlay candidates are bbox-disjoint): every refine downstream of
@@ -260,7 +280,8 @@ def candidate_pairs(
     pairs = pairs.filter(~disjoint).drop(
         "__lx0", "__ly0", "__lx1", "__ly1", "__rx0", "__ry0", "__rx1", "__ry1"
     )
-    pairs = pairs.dropDuplicates([left_id, r_id])
+    if dedup:
+        pairs = pairs.dropDuplicates([left_id, r_id])
     renames = {}
     if r_id != right_id:
         renames[r_id] = f"r_{right_id}"

@@ -77,6 +77,10 @@ def designated_route(edges: DataFrame, osm_line: DataFrame, cell_size: float) ->
             A.route_tier().alias("route"),
         )
     )
+    # dedup=False: collect_set dedups the picked tiers, so duplicate
+    # (edge, route) pairs are harmless — with the broadcast right side the
+    # whole containment test is then map-side (zero shuffle before the
+    # final groupBy)
     cand = spatial.candidate_pairs(
         edges.select("edge_id", "geom"),
         routes,
@@ -84,6 +88,7 @@ def designated_route(edges: DataFrame, osm_line: DataFrame, cell_size: float) ->
         cell_size=cell_size,
         extra_right=["route"],
         broadcast_right=True,
+        dedup=False,
     )
     contained = cand.filter(
         spatial.contains_line_udf()(F.col("r_geom"), F.col("geom"))
@@ -204,11 +209,16 @@ def buffer_overlay_ratio(
     buffers = edges.select(
         "edge_id", spatial.buffer_udf(radius, "flat")(F.col("geom")).alias("geom")
     )
+    # dedup=False: a (buffer, polygon) pair meeting in several cells would
+    # add the same polygon to the union twice — union_ratios dedups
+    # repeated geometry per edge group (byte-keyed, same key as its decode
+    # cache), which is exact for a union-area fold; skipping the pair-dedup
+    # exchange leaves ONE exchange (the group-by-edge spread) on the path
     cand = spatial.candidate_pairs(
         buffers, polys.select(poly_id, "geom"),
         "edge_id", poly_id,
         cell_size=cell_size,
-        left_cov=buffers_cov,
+        left_cov=buffers_cov, dedup=False,
     )
 
     def union_ratios(batches):
@@ -231,8 +241,16 @@ def buffer_overlay_ratio(
                 bminx, bminy = float(rb[:, 0].min()), float(rb[:, 1].min())
                 bmaxx, bmaxy = float(rb[:, 0].max()), float(rb[:, 1].max())
                 pieces = []
+                seen: set[bytes] = set()
                 for g in grp["r_geom"]:
                     gb = bytes(g)
+                    # candidate_pairs(dedup=False): the same polygon may
+                    # appear once per shared cell — adding it to the union
+                    # twice is a no-op by union semantics, but skipping it
+                    # here costs one set lookup instead of a triangle clip
+                    if gb in seen:
+                        continue
+                    seen.add(gb)
                     rings_list = poly_cache.get(gb)
                     if rings_list is None:
                         # flatten MultiPolygon parts — real OSM multi-outer
@@ -348,13 +366,18 @@ def water_flag(
     lines = water.filter(F.col("geom_type") == "line")
     polys = water.filter(F.col("geom_type") == "polygon")
 
+    # dedup=False: the trailing distinct() makes duplicate (edge, water)
+    # pairs harmless, and skipping the pair-dedup exchange lets the refine
+    # UDFs run inside the cell-join stage itself — no shuffle of fat
+    # (buffer WKB, water WKB) candidate rows at all (the former
+    # dropDuplicates + spread pair carried every candidate twice)
     lc = spatial.candidate_pairs(
         buffers, lines.select("water_id", "geom"), "edge_id", "water_id",
         cell_size=cell_size, extra_left=["length"],
-        left_cov=buffers_cov,
+        left_cov=buffers_cov, dedup=False,
     )
     line_hits = (
-        spatial.spread(lc).withColumn(
+        lc.withColumn(
             "ilen", spatial.intersection_length_udf()(F.col("r_geom"), F.col("geom"))
         )
         .filter((F.col("ilen") / F.col("length")).between(0.8, 1.6))
@@ -363,12 +386,12 @@ def water_flag(
     pc = spatial.candidate_pairs(
         buffers, polys.select("water_id", "geom"), "edge_id", "water_id",
         cell_size=cell_size,
-        left_cov=buffers_cov,
+        left_cov=buffers_cov, dedup=False,
     )
     poly_hits = (
-        spatial.spread(pc)
+        pc
         .withColumn("__ix", spatial.intersects_udf()(F.col("geom"), F.col("r_geom")))
-        .filter(F.col("__ix"))  # withColumn keeps the UDF above the exchange
+        .filter(F.col("__ix"))
         .select("edge_id")
     )
     return line_hits.unionByName(poly_hits).distinct()

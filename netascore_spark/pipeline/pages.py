@@ -372,7 +372,7 @@ def nearest_edges(
     edges / 600k pages.
     """
     if progressive and radius > cell_size:
-        p1 = cell_size / 2.0
+        p1 = cell_size / float(os.environ.get("SPARK_GRAFT_KNN_P1_DIV", "2"))
         # hoist the shared work above both phases: ONE segment-explode Arrow
         # pass (the covers differ by radius pad, but the segments don't) and
         # ONE hot-cell histogram (phase 2's unresolved subset can only be
