@@ -135,3 +135,25 @@ def test_full_scoring_end_to_end(spark, world):
         for c in ("index_bike_ft", "index_bike_tf", "index_walk_ft", "index_walk_tf"):
             if r[c] is not None:
                 assert 0.0 <= r[c] <= 1.0, (r["edge_id"], c, r[c])
+
+
+def test_candidate_pairs_dedup_flag_equivalence(spark, world):
+    """Round-6: dedup=False may emit a pair once per shared cell; the
+    DISTINCT pair set must equal the dedup=True output exactly (the
+    overlay consumers rely on this — their folds absorb duplicates)."""
+    from netascore_spark.operators import spatial
+
+    osm, edges, nodes, attrs, _ = world
+    buffers = edges.select(
+        "edge_id", spatial.buffer_udf(30.0, "flat")(F.col("geom")).alias("geom")
+    )
+    polys = fixtures.layer_polygons(spark, "greenness").select("greenness_id", "geom")
+    strict = spatial.candidate_pairs(
+        buffers, polys, "edge_id", "greenness_id", cell_size=200.0
+    ).select("edge_id", "greenness_id")
+    loose = spatial.candidate_pairs(
+        buffers, polys, "edge_id", "greenness_id", cell_size=200.0, dedup=False
+    ).select("edge_id", "greenness_id")
+    a = {(r[0], r[1]) for r in strict.collect()}
+    b = {(r[0], r[1]) for r in loose.collect()}
+    assert a == b and len(a) > 0

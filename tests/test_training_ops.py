@@ -47,6 +47,23 @@ def test_ngram_jaccard(spark, docs):
     assert not any({a, b} & {6} for a, b in got)
 
 
+def test_ngram_jaccard_verify_layouts_agree(spark, docs, monkeypatch):
+    """Round-6 layout split: bounded corpora attach verification arrays
+    via broadcast joins, unbounded ones embed them in the postings.  Both
+    must produce identical pairs — force the embedded path on the tiny
+    corpus by zeroing the broadcast bound and compare."""
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    monkeypatch.setattr(dedup, "NGRAM_BROADCAST_MAX_DOCS", 0)
+    embedded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert fast == embedded and (1, 2) in fast
+
+
 def test_connected_components_chain_and_island(spark):
     # chain 1-2-3-4 plus island 5-6: two components, min-id labels
     pairs = spark.createDataFrame(
