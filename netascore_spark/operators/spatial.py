@@ -281,6 +281,14 @@ def candidate_pairs(
         "__lx0", "__ly0", "__lx1", "__ly1", "__rx0", "__ry0", "__rx1", "__ry1"
     )
     if dedup:
+        # pin the dedup's final-aggregate width (explicit same-key
+        # repartition = the dedup's own exchange, exempt from AQE byte
+        # coalescing): candidate rows are few MB of WKB but minutes of
+        # refine CPU downstream, and without the pin the consumer needed a
+        # SECOND full exchange (spread) just to restore parallelism after
+        # the coalesced dedup — the refine now runs in the dedup stage
+        n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        pairs = pairs.repartition(n_part, F.col(left_id), F.col(r_id))
         pairs = pairs.dropDuplicates([left_id, r_id])
     renames = {}
     if r_id != right_id:

@@ -404,7 +404,9 @@ def noise_sum(edges: DataFrame, noise: DataFrame, cell_size: float) -> DataFrame
         "edge_id", "noise_id",
         cell_size=cell_size, extra_left=["length"], extra_right=["noise"],
     )
-    pieces = spatial.spread(cand).withColumn(
+    # no spread: candidate_pairs' dedup exchange is width-pinned, so the
+    # refine runs in the dedup stage itself (one exchange, not two)
+    pieces = cand.withColumn(
         "ilen", spatial.intersection_length_udf()(F.col("geom"), F.col("r_geom"))
     ).filter(F.col("ilen") > 0)
     return pieces.groupBy("edge_id").agg(
